@@ -1,0 +1,43 @@
+"""Global configuration: dtype policy and small shared helpers.
+
+TPU-native equivalent of the reference's float switch (reference:
+utils/config.py:26-27, which utils/dynamics.py:27-28 ignored by redefining
+locally). Here there is exactly one policy object, used everywhere.
+
+MCMC correctness (detailed balance, log-det-Jacobian cancellation, Hamiltonian
+differences) is sensitive to accumulation precision, so chain state and all
+logdet / energy accumulation default to float32. Network matmuls may optionally
+run in bfloat16 on the MXU (``compute_dtype``) while params and reductions stay
+float32 — the classic TPU mixed-precision recipe.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+# Sharding-invariant threefry so that chain-sharded and unsharded runs produce
+# bitwise-identical streams (SURVEY.md section 7, stage 6).
+jax.config.update("jax_threefry_partitionable", True)
+
+
+@dataclasses.dataclass(frozen=True)
+class Precision:
+    """Dtype policy threaded through nets and dynamics."""
+
+    param_dtype: jnp.dtype = jnp.float32
+    compute_dtype: jnp.dtype = jnp.float32  # set to bfloat16 for MXU-heavy nets
+    accum_dtype: jnp.dtype = jnp.float32  # logdet / energy / loss accumulation
+
+
+DEFAULT_PRECISION = Precision()
+
+
+def cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def round_up(x: int, m: int) -> int:
+    return cdiv(x, m) * m

@@ -1,0 +1,294 @@
+"""Network-augmented leapfrog dynamics — the L2HMC core.
+
+TPU-native redesign of the reference ``Dynamics`` object
+(reference: utils/dynamics.py:34-309). Differences from the reference, by
+design (SURVEY.md §7):
+
+- **Pure functions + pytree params.** No god-object: static configuration
+  lives in a frozen ``Dynamics`` dataclass (trace-time constant), learnable
+  state is an explicit params pytree ``{"alpha", "xnet", "vnet"}``.
+- **Masks from a seed.** The reference drew per-step binary masks with
+  *unseeded numpy at graph-build time* (utils/dynamics.py:84-93), forcing
+  eval code to scrape them back out of checkpoints by tensor name
+  (eval_sampler.py:52-59). Here masks are derived from ``mask_seed`` — a
+  checkpointable integer.
+- **``lax.scan`` over the T leapfrog steps** instead of ``tf.while_loop``
+  (utils/dynamics.py:263-267): one compiled XLA program, reverse-mode
+  differentiable, with optional ``jax.checkpoint`` rematerialisation of the
+  step body to keep grad-through-scan memory flat at 8192 chains.
+- **One batched energy gradient per call** via grad-of-sum (rows are
+  independent), replacing ``tf.gradients`` (utils/dynamics.py:217-218).
+
+The update equations are the paper's (arXiv 1711.09268, eqs. 8-13) exactly as
+implemented at utils/dynamics.py:115-201, including the exact inverse and the
+log-det-Jacobian accumulation ``sum(sv1 + sv2 + mb*sx1 + m*sx2)``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from l2hmc_tpu.nets.core import Module
+from l2hmc_tpu.targets.base import batched_grad
+
+Array = jax.Array
+Params = Any
+EnergyFn = Callable[..., Array]  # (x[, aux]) -> (n,)
+
+
+def make_masks(mask_seed: int, T: int, dim: int) -> np.ndarray:
+    """Per-step random binary half-masks, derived from a seed.
+
+    Exactly ``dim // 2`` ones per step (reference utils/dynamics.py:84-93,
+    which used unseeded ``np.random.permutation``). Returned as a numpy
+    (T, dim) float32 array — a trace-time constant baked into the jitted
+    program.
+    """
+    rng = np.random.default_rng(mask_seed)
+    masks = np.zeros((T, dim), np.float32)
+    for t in range(T):
+        idx = rng.permutation(dim)[: dim // 2]
+        masks[t, idx] = 1.0
+    return masks
+
+
+def time_encoding(T: int) -> np.ndarray:
+    """(T, 2) [cos, sin](2*pi*t/T) features (reference utils/dynamics.py:99-105)."""
+    t = np.arange(T, dtype=np.float32)
+    return np.stack(
+        [np.cos(2.0 * np.pi * t / T), np.sin(2.0 * np.pi * t / T)], axis=1
+    )
+
+
+@jax.tree_util.register_static
+@dataclasses.dataclass(frozen=True, eq=False)
+class Dynamics:
+    """Static configuration of the augmented-leapfrog integrator.
+
+    Equivalent of reference ``Dynamics.__init__`` (utils/dynamics.py:34-81)
+    minus the learnable state, which lives in the params pytree from
+    :meth:`init_params`.
+
+    Attributes:
+      dim: state dimensionality.
+      energy: batched energy fn ``(x[, aux]) -> (n,)``.
+      T: number of leapfrog steps per trajectory.
+      xnet / vnet: S/T/Q modules (ignored when ``hmc=True``).
+      hmc: plain-HMC mode — zero networks, exact leapfrog, fixed eps
+        (utils/dynamics.py:73-76).
+      eps_trainable: whether alpha = log(eps) receives gradients
+        (utils/dynamics.py:49-58). Implemented with stop_gradient so the
+        param pytree shape is mode-independent.
+      use_temperature: divide energy by a runtime temperature
+        (utils/dynamics.py:203-212); off in all reference drivers but kept —
+        the paper anneals temperature.
+      mask_seed: seed for the per-step binary masks.
+    """
+
+    dim: int
+    energy: EnergyFn
+    T: int = 25
+    xnet: Optional[Module] = None
+    vnet: Optional[Module] = None
+    hmc: bool = False
+    eps_trainable: bool = True
+    use_temperature: bool = False
+    mask_seed: int = 0
+
+    def __post_init__(self):
+        if not self.hmc and (self.xnet is None or self.vnet is None):
+            raise ValueError("non-HMC dynamics requires xnet and vnet modules")
+        object.__setattr__(self, "masks", make_masks(self.mask_seed, self.T, self.dim))
+        object.__setattr__(self, "times", time_encoding(self.T))
+
+    # -- params ------------------------------------------------------------
+
+    def init_params(self, key: Array, eps: float = 0.1) -> Params:
+        """{"alpha": log eps, "xnet": ..., "vnet": ...} pytree."""
+        alpha = jnp.asarray(np.log(eps), jnp.float32)
+        if self.hmc:
+            return {"alpha": alpha, "xnet": (), "vnet": ()}
+        kx, kv = jax.random.split(key)
+        return {
+            "alpha": alpha,
+            "xnet": self.xnet.init(kx),
+            "vnet": self.vnet.init(kv),
+        }
+
+    def eps(self, params: Params) -> Array:
+        """eps = exp(alpha) (utils/dynamics.py:49-58)."""
+        alpha = params["alpha"]
+        if self.hmc or not self.eps_trainable:
+            alpha = jax.lax.stop_gradient(alpha)
+        return jnp.exp(alpha)
+
+    # -- energies ----------------------------------------------------------
+
+    def _energy(self, x: Array, aux=None, temperature: Array | float = 1.0) -> Array:
+        e = self.energy(x, aux=aux) if aux is not None else self.energy(x)
+        if self.use_temperature:
+            e = e / temperature
+        return e
+
+    def kinetic(self, v: Array) -> Array:
+        return 0.5 * jnp.sum(jnp.square(v), axis=1)
+
+    def hamiltonian(self, x, v, aux=None, temperature=1.0) -> Array:
+        return self._energy(x, aux, temperature) + self.kinetic(v)
+
+    def grad_energy(self, x, aux=None, temperature=1.0) -> Array:
+        return batched_grad(lambda y: self._energy(y, aux, temperature))(x)
+
+    def _apply_nets(self, params: Params, net: str, inputs) -> tuple:
+        """VNet/XNet apply; zeros in HMC mode (utils/dynamics.py:73-76)."""
+        if self.hmc:
+            z = jnp.zeros_like(inputs[0])
+            return z, z, z
+        mod = self.vnet if net == "vnet" else self.xnet
+        s, t, q = mod.apply(params[net], inputs)
+        return s, t, q
+
+    # -- single leapfrog substeps -----------------------------------------
+
+    def forward_step(
+        self, params, x, v, step_idx, *, aux=None, temperature=1.0
+    ):
+        """One augmented leapfrog step (utils/dynamics.py:115-157).
+
+        Returns (x_out, v_out, logdet_contribution).
+        """
+        eps = self.eps(params)
+        n = x.shape[0]
+        t = jnp.broadcast_to(
+            jnp.asarray(self.times, x.dtype)[step_idx], (n, 2)
+        )
+        m = jnp.asarray(self.masks, x.dtype)[step_idx]
+        mb = 1.0 - m
+
+        # half-step momentum update
+        grad1 = self.grad_energy(x, aux, temperature)
+        s, tt, q = self._apply_nets(params, "vnet", [x, grad1, t, aux])
+        sv1 = 0.5 * eps * s
+        fv1 = eps * q
+        v_h = v * jnp.exp(sv1) + 0.5 * eps * (-jnp.exp(fv1) * grad1 + tt)
+
+        # first half of x update (masked)
+        s, tt, q = self._apply_nets(params, "xnet", [v_h, m * x, t, aux])
+        sx1 = eps * s
+        fx1 = eps * q
+        y = m * x + mb * (x * jnp.exp(sx1) + eps * (jnp.exp(fx1) * v_h + tt))
+
+        # second half of x update (complementary mask)
+        s, tt, q = self._apply_nets(params, "xnet", [v_h, mb * y, t, aux])
+        sx2 = eps * s
+        fx2 = eps * q
+        x_o = mb * y + m * (y * jnp.exp(sx2) + eps * (jnp.exp(fx2) * v_h + tt))
+
+        # final half-step momentum update
+        grad2 = self.grad_energy(x_o, aux, temperature)
+        s, tt, q = self._apply_nets(params, "vnet", [x_o, grad2, t, aux])
+        sv2 = 0.5 * eps * s
+        fv2 = eps * q
+        v_o = v_h * jnp.exp(sv2) + 0.5 * eps * (-jnp.exp(fv2) * grad2 + tt)
+
+        logdet = jnp.sum(sv1 + sv2 + mb * sx1 + m * sx2, axis=1)
+        return x_o, v_o, logdet
+
+    def backward_step(
+        self, params, x_o, v_o, step_idx, *, aux=None, temperature=1.0
+    ):
+        """Exact inverse of :meth:`forward_step` (utils/dynamics.py:159-201)."""
+        eps = self.eps(params)
+        n = x_o.shape[0]
+        t = jnp.broadcast_to(
+            jnp.asarray(self.times, x_o.dtype)[step_idx], (n, 2)
+        )
+        m = jnp.asarray(self.masks, x_o.dtype)[step_idx]
+        mb = 1.0 - m
+
+        grad1 = self.grad_energy(x_o, aux, temperature)
+        s, tt, q = self._apply_nets(params, "vnet", [x_o, grad1, t, aux])
+        sv2 = -0.5 * eps * s
+        fv2 = eps * q
+        v_h = (v_o - 0.5 * eps * (-jnp.exp(fv2) * grad1 + tt)) * jnp.exp(sv2)
+
+        s, tt, q = self._apply_nets(params, "xnet", [v_h, mb * x_o, t, aux])
+        sx2 = -eps * s
+        fx2 = eps * q
+        y = mb * x_o + m * jnp.exp(sx2) * (
+            x_o - eps * (jnp.exp(fx2) * v_h + tt)
+        )
+
+        s, tt, q = self._apply_nets(params, "xnet", [v_h, m * y, t, aux])
+        sx1 = -eps * s
+        fx1 = eps * q
+        x = m * y + mb * jnp.exp(sx1) * (y - eps * (jnp.exp(fx1) * v_h + tt))
+
+        grad2 = self.grad_energy(x, aux, temperature)
+        s, tt, q = self._apply_nets(params, "vnet", [x, grad2, t, aux])
+        sv1 = -0.5 * eps * s
+        fv1 = eps * q
+        v = jnp.exp(sv1) * (v_h - 0.5 * eps * (-jnp.exp(fv1) * grad2 + tt))
+
+        logdet = jnp.sum(sv1 + sv2 + mb * sx1 + m * sx2, axis=1)
+        return x, v, logdet
+
+    # -- full trajectories -------------------------------------------------
+
+    def _trajectory(
+        self, params, x, v, *, reverse: bool, aux, temperature, remat
+    ):
+        steps = np.arange(self.T, dtype=np.int32)
+        if reverse:
+            steps = steps[::-1].copy()
+        substep = self.backward_step if reverse else self.forward_step
+
+        def body(carry, step_idx):
+            cx, cv, logdet = carry
+            nx, nv, ld = substep(
+                params, cx, cv, step_idx, aux=aux, temperature=temperature
+            )
+            return (nx, nv, logdet + ld), None
+
+        if remat:
+            body = jax.checkpoint(body)
+        init = (x, v, jnp.zeros((x.shape[0],), x.dtype))
+        (X, V, logdet), _ = jax.lax.scan(body, init, jnp.asarray(steps))
+        return X, V, logdet
+
+    def forward(
+        self, params, x, v, *, aux=None, temperature=1.0, remat: bool = False
+    ):
+        """T forward steps; returns (X, V, logdet) (utils/dynamics.py:246-272).
+
+        Unlike the reference, momentum is an explicit argument — sampling it
+        is the caller's job (explicit PRNG keys; see mcmc.sampler.propose).
+        """
+        return self._trajectory(
+            params, x, v, reverse=False, aux=aux, temperature=temperature,
+            remat=remat,
+        )
+
+    def backward(
+        self, params, x, v, *, aux=None, temperature=1.0, remat: bool = False
+    ):
+        """T inverse steps applied in reverse order (utils/dynamics.py:274-300)."""
+        return self._trajectory(
+            params, x, v, reverse=True, aux=aux, temperature=temperature,
+            remat=remat,
+        )
+
+    def p_accept(
+        self, params, x0, v0, x1, v1, log_jac, *, aux=None, temperature=1.0
+    ) -> Array:
+        """MH acceptance prob exp(min(H0 - H1 + logJ, 0)), NaN-guarded to 0
+        (utils/dynamics.py:302-309)."""
+        e_old = self.hamiltonian(x0, v0, aux=aux, temperature=temperature)
+        e_new = self.hamiltonian(x1, v1, aux=aux, temperature=temperature)
+        p = jnp.exp(jnp.minimum(e_old - e_new + log_jac, 0.0))
+        return jnp.where(jnp.isfinite(p), p, jnp.zeros_like(p))

@@ -1,0 +1,34 @@
+"""MH sampling operators and ESJD losses
+(reference: utils/sampler.py + utils/losses.py)."""
+
+from l2hmc_tpu.mcmc.losses import (
+    get_loss,
+    loss_inverse,
+    loss_logsumexp,
+    loss_mixed,
+    loss_std,
+    loss_vec,
+    scg_joint_loss,
+)
+from l2hmc_tpu.mcmc.sampler import (
+    ProposeOut,
+    chain_operator,
+    metropolis,
+    metropolis_mask,
+    propose,
+)
+
+__all__ = [
+    "ProposeOut",
+    "chain_operator",
+    "metropolis",
+    "metropolis_mask",
+    "propose",
+    "get_loss",
+    "loss_inverse",
+    "loss_logsumexp",
+    "loss_mixed",
+    "loss_std",
+    "loss_vec",
+    "scg_joint_loss",
+]
