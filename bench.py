@@ -1,0 +1,75 @@
+"""Headline benchmark: the SCG experiment end-to-end on real hardware.
+
+Reproduces SCGExperiment.ipynb's full protocol (train 5000 steps @ 200
+chains, eval 2000 MH steps, ESS vs plain HMC at eps=0.15) and prints ONE
+JSON line. Baseline: the reference's stored notebook output — ESS ratio 46x
+(BASELINE.md), trained on 2017-era hardware with per-step host round-trips.
+
+Also measures raw leapfrog throughput at 8192 chains (the BASELINE.json
+scale target) into the "extra" field.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from l2hmc_tpu import mcmc
+from l2hmc_tpu.train import ScgConfig, build_dynamics, run_experiment
+
+BASELINE_ESS_RATIO = 46.0  # SCGExperiment.ipynb cell 21 stored output
+
+
+def leapfrog_throughput(n_chains: int = 8192, T: int = 10, iters: int = 50):
+    """Leapfrog steps/sec of the full L2HMC proposal at scale."""
+    cfg = ScgConfig(n_chains=n_chains, T=T)
+    dynamics, target = build_dynamics(cfg)
+    params = dynamics.init_params(jax.random.key(0), eps=cfg.eps)
+    x = jax.random.normal(jax.random.key(1), (n_chains, cfg.dim))
+
+    @jax.jit
+    def chain(x, key):
+        def step(x, k):
+            out = mcmc.propose(k, dynamics, params, x, do_mh_step=True)
+            return out.x_next, None
+
+        keys = jax.random.split(key, iters)
+        x, _ = jax.lax.scan(step, x, keys)
+        return x
+
+    jax.block_until_ready(chain(x, jax.random.key(2)))  # compile
+    t0 = time.perf_counter()
+    jax.block_until_ready(chain(x, jax.random.key(3)))
+    dt = time.perf_counter() - t0
+    # each proposal runs forward AND backward trajectories: 2*T leapfrogs
+    return iters * 2 * T * n_chains / dt
+
+
+def main():
+    metrics = run_experiment(ScgConfig(), eval_steps=2000, hmc_eps=0.15)
+    lf_per_sec = leapfrog_throughput()
+    ratio = metrics["ess_ratio"]
+    result = {
+        "metric": "scg_ess_ratio",
+        "value": round(ratio, 3),
+        "unit": "x (L2HMC ESS / HMC ESS per MH step, SCG 2-D)",
+        "vs_baseline": round(ratio / BASELINE_ESS_RATIO, 4),
+        "extra": {
+            "ess_l2hmc": round(metrics["ess_l2hmc"], 6),
+            "ess_hmc": round(metrics["ess_hmc"], 6),
+            "final_accept": round(metrics["final_accept"], 4),
+            "final_loss": round(metrics["final_loss"], 1),
+            "train_time_s": round(metrics["train_time_s"], 2),
+            "eval_time_s": round(metrics["eval_time_s"], 2),
+            "leapfrog_steps_per_sec_8192chains": round(lf_per_sec),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -22,6 +22,16 @@ import jax.numpy as jnp
 # bitwise-identical streams (SURVEY.md section 7, stage 6).
 jax.config.update("jax_threefry_partitionable", True)
 
+# MCMC correctness requires true-f32 contractions: on TPU the default matmul
+# precision lowers f32 operands to bfloat16 MXU passes, which (a) destroys
+# the strongly-correlated Gaussian's precision matrix ([[5.005, 4.995], ...]
+# rounds to a singular matrix in bf16) and (b) erases the O(1e-3) Hamiltonian
+# differences that drive Metropolis acceptance — measured on v5e: acceptance
+# collapses to 0 and training diverges. 'highest' uses 3-pass f32 on the MXU;
+# hot large matmuls that can tolerate bf16 opt back down explicitly via the
+# Precision argument at the call site.
+jax.config.update("jax_default_matmul_precision", "highest")
+
 
 @dataclasses.dataclass(frozen=True)
 class Precision:

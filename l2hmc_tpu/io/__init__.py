@@ -1,0 +1,13 @@
+"""Checkpointing, metrics, run configs (reference: tf.train.Saver +
+tf.summary + hparams-in-logdir-path, rebuilt as orbax + CSV/JSONL +
+dataclass JSON)."""
+
+from l2hmc_tpu.io.checkpoint import load_config, restore_checkpoint, save_checkpoint
+from l2hmc_tpu.io.metrics_writer import MetricsWriter
+
+__all__ = [
+    "MetricsWriter",
+    "load_config",
+    "restore_checkpoint",
+    "save_checkpoint",
+]

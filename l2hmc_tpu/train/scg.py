@@ -1,0 +1,276 @@
+"""End-to-end SCG experiment: train L2HMC on the strongly-correlated Gaussian.
+
+TPU-native rebuild of SCGExperiment.ipynb (reference cells 3, 5, 9, 10, 12,
+14-21; SURVEY.md C9). The reference ran a Python loop of ``sess.run`` calls,
+round-tripping chain state through ``feed_dict`` every step (SURVEY.md §3.1).
+Here the *entire* training run — propose, loss, grads, Adam update, chain MH
+update — is one jitted ``lax.scan``: chain state lives on device for all
+5000 steps, and the same holds for the 2000-step evaluation chain.
+
+Loss (cell 9): joint over target chains x and fresh z ~ N(0, I) "burn-in"
+chains; scale=0.1. Optimizer (cell 10): Adam, lr 1e-3 with staircase
+exponential decay 0.96 per 1000 steps.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from l2hmc_tpu import mcmc, nets, targets
+from l2hmc_tpu.dynamics import Dynamics
+from l2hmc_tpu.evals import acl_spectrum, ess
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class ScgConfig:
+    """Hyperparameters of the notebook experiment (cells 5, 10, 12)."""
+
+    dim: int = 2
+    n_chains: int = 200
+    T: int = 10  # leapfrog steps
+    eps: float = 0.1
+    hidden: int = 10
+    scale: float = 0.1  # loss scale (cell 9)
+    learning_rate: float = 1e-3
+    lr_decay_rate: float = 0.96
+    lr_decay_steps: int = 1000
+    n_steps: int = 5000
+    seed: int = 42
+    mask_seed: int = 0
+    remat: bool = False
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    x: Array  # chain state (n_chains, dim)
+    key: Array
+    step: Array
+
+
+def build_dynamics(config: ScgConfig, target=None) -> tuple[Dynamics, Any]:
+    """Dynamics + target for the SCG experiment (notebook cells 3, 5)."""
+    target = targets.scg_gaussian() if target is None else target
+    xnet = nets.scg_net_factory(config.dim, factor=2.0, hidden=config.hidden)
+    vnet = nets.scg_net_factory(config.dim, factor=1.0, hidden=config.hidden)
+    dyn = Dynamics(
+        dim=config.dim,
+        energy=target.energy,
+        T=config.T,
+        xnet=xnet,
+        vnet=vnet,
+        mask_seed=config.mask_seed,
+    )
+    return dyn, target
+
+
+def make_optimizer(config: ScgConfig) -> optax.GradientTransformation:
+    schedule = optax.exponential_decay(
+        init_value=config.learning_rate,
+        transition_steps=config.lr_decay_steps,
+        decay_rate=config.lr_decay_rate,
+        staircase=True,
+    )
+    return optax.adam(schedule), schedule
+
+
+def init_state(config: ScgConfig, dynamics: Dynamics, optimizer) -> TrainState:
+    key = jax.random.key(config.seed)
+    k_params, k_x, k_run = jax.random.split(key, 3)
+    params = dynamics.init_params(k_params, eps=config.eps)
+    opt_state = optimizer.init(params)
+    # chains start from N(0, I) (cell 12: samples = np.random.randn(...))
+    x = jax.random.normal(k_x, (config.n_chains, config.dim), jnp.float32)
+    return TrainState(params, opt_state, x, k_run, jnp.zeros((), jnp.int32))
+
+
+def make_train_step(config: ScgConfig, dynamics: Dynamics, optimizer):
+    """One jitted training step: joint loss on (x, z) proposals, Adam update,
+    chain state advanced by the x-proposal's MH output (cell 12 fetches
+    ``output[0]``)."""
+
+    def loss_fn(params, x, key):
+        k_x, k_z, k_zprop = jax.random.split(key, 3)
+        out_x = mcmc.propose(
+            k_x, dynamics, params, x, do_mh_step=True, remat=config.remat
+        )
+        z = jax.random.normal(k_z, x.shape, x.dtype)
+        out_z = mcmc.propose(
+            k_zprop, dynamics, params, z, remat=config.remat
+        )
+        loss = mcmc.scg_joint_loss(
+            x, out_x.x_prop, out_x.p_accept,
+            z, out_z.x_prop, out_z.p_accept,
+            scale=config.scale,
+        )
+        return loss, (out_x.x_next, out_x.p_accept)
+
+    def train_step(state: TrainState, _) -> tuple[TrainState, dict]:
+        key, k_step = jax.random.split(state.key)
+        (loss, (x_next, px)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.x, k_step)
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params, opt_state, x_next, key, state.step + 1)
+        metrics = {
+            "loss": loss,
+            "p_accept": jnp.mean(px),
+            "eps": dynamics.eps(params),
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+def train(
+    config: ScgConfig,
+    target=None,
+    *,
+    log_every: int = 0,
+    state: Optional[TrainState] = None,
+) -> tuple[TrainState, dict]:
+    """Run the full training loop as chunked device-resident scans.
+
+    Returns (final_state, metrics history dict of (n_steps,) arrays).
+    With ``log_every > 0``, prints progress like the notebook (cell 12).
+    """
+    dynamics, target = build_dynamics(config, target)
+    optimizer, schedule = make_optimizer(config)
+    if state is None:
+        state = init_state(config, dynamics, optimizer)
+    step_fn = make_train_step(config, dynamics, optimizer)
+
+    if config.n_chains < 1:
+        raise ValueError(f"n_chains must be >= 1, got {config.n_chains}")
+
+    # cap the per-dispatch scan length: one giant scan program compiles
+    # pathologically slowly on some remote-compile TPU paths, and chunking
+    # costs nothing (state stays device-resident between chunks)
+    chunk = log_every if log_every and log_every > 0 else 250
+    chunk = min(chunk, config.n_steps)
+
+    @functools.partial(jax.jit, static_argnames="length")
+    def run_chunk(state, length):
+        return jax.lax.scan(step_fn, state, None, length=length)
+
+    history = []
+    done = 0
+    while done < config.n_steps:
+        n = min(chunk, config.n_steps - done)
+        state, metrics = run_chunk(state, n)
+        history.append(jax.device_get(metrics))
+        done += n
+        if log_every:
+            lr = float(schedule(done))
+            print(
+                f"Step: {done} / {config.n_steps}, "
+                f"Loss: {float(metrics['loss'][-1]):.2e}, "
+                f"Acceptance: {float(metrics['p_accept'][-1]):.2f}, "
+                f"LR: {lr:.5f}"
+            )
+    merged = {
+        k: np.concatenate([h[k] for h in history]) for k in history[0]
+    }
+    return state, merged
+
+
+# -- evaluation (notebook cells 14-21) ---------------------------------------
+
+
+def sample_chain(
+    dynamics: Dynamics,
+    params,
+    x0: Array,
+    n_steps: int,
+    key: Array,
+    *,
+    aux=None,
+    collect: bool = True,
+):
+    """Run the trained sampler for n_steps MH steps entirely on device,
+    collecting the trace (cell 14's python loop, device-resident)."""
+
+    def step(x, k):
+        out = mcmc.propose(k, dynamics, params, x, aux=aux, do_mh_step=True)
+        return out.x_next, (out.x_next if collect else out.p_accept)
+
+    keys = jax.random.split(key, n_steps)
+    x_final, trace = jax.lax.scan(step, x0, keys)
+    return x_final, trace
+
+
+def hmc_sample_chain(
+    target, eps: float, T: int, x0: Array, n_steps: int, key: Array
+):
+    """Plain-HMC baseline chain (reference utils/notebook_utils.py:25-39)."""
+    dyn = Dynamics(dim=x0.shape[1], energy=target.energy, T=T, hmc=True)
+    params = dyn.init_params(key, eps=eps)
+    return sample_chain(dyn, params, x0, n_steps, key)
+
+
+def evaluate_ess(
+    trace: Array, cov: np.ndarray, max_lag: int = 300
+) -> float:
+    """ESS from a (T, N, D) trace with the notebook's normalization
+    (cell 17: scale = sqrt(trace(cov)))."""
+    scale = float(np.sqrt(np.trace(cov)))
+    spectrum = acl_spectrum(trace, scale=scale, max_lag=max_lag)
+    return float(ess(spectrum))
+
+
+def run_experiment(
+    config: ScgConfig = ScgConfig(),
+    *,
+    eval_steps: int = 2000,
+    hmc_eps: float = 0.15,
+    log_every: int = 0,
+) -> dict:
+    """Full notebook reproduction: train, then eval L2HMC vs HMC ESS
+    (cells 12-21). Returns a metrics dict including the headline ESS ratio
+    (BASELINE.md: reference ratio 46x)."""
+    import time
+
+    dynamics, target = build_dynamics(config)
+
+    t0 = time.perf_counter()
+    state, history = train(config, log_every=log_every)
+    jax.block_until_ready(state.params)
+    train_time = time.perf_counter() - t0
+
+    key = jax.random.key(config.seed + 1)
+    x0 = target.sample(key, config.n_chains)
+    t1 = time.perf_counter()
+    _, l2hmc_trace = sample_chain(
+        dynamics, state.params, x0, eval_steps, jax.random.key(config.seed + 2)
+    )
+    jax.block_until_ready(l2hmc_trace)
+    eval_time = time.perf_counter() - t1
+
+    _, hmc_trace = hmc_sample_chain(
+        target, hmc_eps, config.T, x0, eval_steps, jax.random.key(config.seed + 3)
+    )
+
+    ess_l2hmc = evaluate_ess(l2hmc_trace, target.sigma)
+    ess_hmc = evaluate_ess(hmc_trace, target.sigma)
+    return {
+        "ess_l2hmc": ess_l2hmc,
+        "ess_hmc": ess_hmc,
+        "ess_ratio": ess_l2hmc / max(ess_hmc, 1e-12),
+        "final_loss": float(history["loss"][-1]),
+        "final_accept": float(history["p_accept"][-100:].mean()),
+        "train_time_s": train_time,
+        "eval_time_s": eval_time,
+        "history": history,
+    }

@@ -1,0 +1,44 @@
+"""SCG end-to-end integration test (SURVEY.md §4 item 3, shortened for CI).
+
+The full-budget oracle (5000 steps -> ESS ratio ≳ 46x, acceptance 0.43-0.49)
+runs in bench.py on TPU; here a short run must show (a) loss strictly
+improving, (b) healthy acceptance, (c) L2HMC ESS beating HMC ESS already.
+"""
+
+import numpy as np
+import pytest
+
+from l2hmc_tpu.train import ScgConfig, run_experiment, train
+
+
+@pytest.fixture(scope="module")
+def short_run():
+    cfg = ScgConfig(n_steps=400, n_chains=128, seed=7)
+    return run_experiment(cfg, eval_steps=400)
+
+
+def test_loss_improves(short_run):
+    h = short_run["history"]["loss"]
+    assert h[-50:].mean() < h[:50].mean() - 50.0
+
+
+def test_acceptance_healthy(short_run):
+    assert 0.1 < short_run["final_accept"] < 1.0
+
+
+def test_ess_beats_hmc_early(short_run):
+    assert short_run["ess_ratio"] > 1.2
+
+
+def test_eps_moved(short_run):
+    h = short_run["history"]["eps"]
+    assert abs(float(h[-1]) - 0.1) > 1e-3  # trainable step size actually trains
+
+
+def test_train_resume_continuity():
+    """train() with an explicit state continues rather than restarting."""
+    cfg = ScgConfig(n_steps=20, n_chains=16, T=3)
+    state1, h1 = train(cfg)
+    assert int(state1.step) == 20
+    state2, _ = train(cfg, state=state1)
+    assert int(state2.step) == 40

@@ -1,0 +1,146 @@
+"""VAE application tests (SURVEY.md C10-C13) on tiny synthetic data.
+
+These validate wiring and training dynamics (losses finite and improving,
+all three parameter groups updating, AIS/eval protocols running), not MNIST
+likelihood numbers — real-data runs live in the apps' CLIs.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from l2hmc_tpu.apps import baseline_vae, data as data_lib, eval_sampler, eval_vae, vae
+
+
+TINY = vae.VaeConfig(
+    epochs=1,
+    batch_size=16,
+    latent_dim=4,
+    leapfrogs=2,
+    mh_steps=2,
+    enc_hidden=32,
+    sampler_size1=16,
+    sampler_size2=16,
+    seed=3,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_data():
+    return data_lib.synthetic_mnist(n_train=64, n_test=32, seed=1)
+
+
+@pytest.fixture(scope="module")
+def trained(tiny_data):
+    model, state, last = vae.train(TINY, tiny_data, verbose=False)
+    return model, state, last
+
+
+def test_synthetic_data_stats(tiny_data):
+    assert tiny_data.train.shape == (64, 784)
+    assert tiny_data.is_synthetic
+    assert 0.0 <= tiny_data.train.min() and tiny_data.train.max() <= 1.0
+    # mostly dark images with some bright structure
+    assert 0.02 < tiny_data.train.mean() < 0.5
+
+
+def test_binarize(tiny_data):
+    rng = np.random.default_rng(0)
+    b = data_lib.binarize(rng, tiny_data.train)
+    assert set(np.unique(b)) <= {0.0, 1.0}
+
+
+def test_vae_trains_all_groups(trained, tiny_data):
+    model, state, last = trained
+    assert np.isfinite(last["elbo"])
+    assert np.isfinite(last["sampler_loss"])
+    assert np.isfinite(last["log_prob"])
+    assert 0.0 <= last["p_accept"] <= 1.0
+    assert int(state.step) == 64 // 16
+
+    # all three parameter groups moved from init
+    model2 = vae.VaeModel.build(TINY)
+    bpe = 64 // 16
+    init = vae.init_state(model2, bpe)
+    for group in ("enc", "dec", "smp"):
+        moved = any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(
+                jax.tree_util.tree_leaves(init.params[group]),
+                jax.tree_util.tree_leaves(state.params[group]),
+            )
+        )
+        assert moved, f"{group} params did not update"
+
+
+def test_generate_samples(trained):
+    model, state, _ = trained
+    imgs = vae.generate_samples(model, state.params, jax.random.key(0), n=8)
+    assert imgs.shape == (8, 784)
+    a = np.asarray(imgs)
+    assert (a >= 0).all() and (a <= 1).all()
+
+
+def test_vae_hmc_mode(tiny_data):
+    cfg = vae.VaeConfig(**{**TINY.__dict__, "hmc": True})
+    model, state, last = vae.train(cfg, tiny_data, verbose=False)
+    assert np.isfinite(last["elbo"])
+
+
+def test_vae_random_lf_composition(tiny_data):
+    cfg = vae.VaeConfig(**{**TINY.__dict__, "random_lf_composition": 3})
+    model, state, last = vae.train(cfg, tiny_data, verbose=False)
+    assert np.isfinite(last["sampler_loss"])
+
+
+def test_vae_faithful_loss_accum(tiny_data):
+    cfg = vae.VaeConfig(**{**TINY.__dict__, "faithful_loss_accum": True})
+    model, state, last = vae.train(cfg, tiny_data, verbose=False)
+    assert np.isfinite(last["sampler_loss"])
+
+
+def test_baseline_vae(tiny_data):
+    cfg = baseline_vae.BaselineVaeConfig(
+        epochs=2, batch_size=16, latent_dim=4, enc_hidden=32
+    )
+    (enc, dec), state, last = baseline_vae.train(
+        cfg, tiny_data, verbose=False
+    )
+    assert np.isfinite(last["elbo"])
+    assert int(state.step) == 2 * (64 // 16)
+
+
+def test_eval_vae_ais(trained, tiny_data):
+    model, state, _ = trained
+    cfg = eval_vae.EvalVaeConfig(
+        leapfrogs=2,
+        anneal_steps=10,
+        latent_dim=4,
+        chains_per_datapoint=4,
+        num_splits=4,
+    )
+    ll = eval_vae.run(
+        model, state.params, cfg, tiny_data, max_datapoints=8
+    )
+    assert np.isfinite(ll)
+    # log-likelihood of a 784-pixel binarized image is strongly negative
+    assert ll < 0
+
+
+def test_eval_sampler(trained, tiny_data):
+    model, state, _ = trained
+    cfg = eval_sampler.EvalSamplerConfig(
+        leapfrogs=2,
+        latent_dim=4,
+        n_chains=8,
+        n_steps=20,
+        burn_in=5,
+        datapoint_index=3,
+        hmc_eps_grid=(0.1,),
+        max_autocov_lag=10,
+    )
+    curves = eval_sampler.run(model, state.params, cfg, tiny_data)
+    assert curves["trained"].shape == (10,)
+    assert np.isfinite(curves["trained"]).all()
+    assert np.isfinite(curves["hmc"][0.1]).all()
