@@ -1,0 +1,148 @@
+"""Distribution-suite benchmark runner (BASELINE.json configs[1-2]):
+train + evaluate L2HMC vs HMC on each analytic target — 50-d
+ill-conditioned Gaussian, rough well, GMM ring, Gaussian funnel — at
+configurable chain counts (8192 for the scale benchmark).
+
+Usage:
+    python -m l2hmc_tpu.apps.suite --targets icg rough_well ring \
+        --n_chains 8192 --n_steps 2000 --out suite.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import time
+from typing import Callable
+
+import jax
+import numpy as np
+
+from l2hmc_tpu import targets as targets_lib
+from l2hmc_tpu.train import (
+    ScgConfig,
+    evaluate_ess,
+    hmc_sample_chain,
+    run_experiment,
+    sample_chain,
+    train,
+    build_dynamics,
+)
+
+
+def _target_registry() -> dict[str, Callable]:
+    return {
+        "scg": lambda: targets_lib.scg_gaussian(),
+        "icg": lambda: targets_lib.ill_conditioned_gaussian(50, 2.0),
+        "rough_well": lambda: targets_lib.RoughWell(dim=10, eps=0.1),
+        "ring": lambda: targets_lib.gen_ring(r=2.0, var=0.1, nb_mixtures=4),
+        "mog2": lambda: targets_lib.mog2(distance=4.0, var=0.1),
+        "funnel": lambda: targets_lib.GaussianFunnel(dim=10),
+    }
+
+
+def run_target(
+    name: str,
+    *,
+    n_chains: int = 512,
+    n_steps: int = 5000,
+    leapfrogs: int = 10,
+    eval_steps: int = 2000,
+    hmc_eps: float = 0.15,
+    hidden: int = 10,
+    seed: int = 42,
+) -> dict:
+    """Train L2HMC on one suite target and compare ESS against plain HMC.
+
+    Uses the covariance-trace normalization of the SCG protocol where the
+    target has a known covariance; otherwise normalizes by the empirical
+    second moment of exact samples.
+    """
+    target = _target_registry()[name]()
+    dim = target.dim
+    cfg = ScgConfig(
+        dim=dim,
+        n_chains=n_chains,
+        T=leapfrogs,
+        hidden=hidden,
+        n_steps=n_steps,
+        seed=seed,
+    )
+    dynamics, _ = build_dynamics(cfg, target)
+
+    t0 = time.perf_counter()
+    state, history = train(cfg, target=target)
+    jax.block_until_ready(state.params)
+    train_time = time.perf_counter() - t0
+
+    key = jax.random.key(seed + 1)
+    x0 = target.sample(key, n_chains)
+    t1 = time.perf_counter()
+    _, trace = sample_chain(
+        dynamics, state.params, x0, eval_steps, jax.random.key(seed + 2)
+    )
+    jax.block_until_ready(trace)
+    eval_time = time.perf_counter() - t1
+
+    _, hmc_trace = hmc_sample_chain(
+        target, hmc_eps, leapfrogs, x0, eval_steps, jax.random.key(seed + 3)
+    )
+
+    if hasattr(target, "sigma") and np.asarray(target.sigma).ndim == 2:
+        cov = np.asarray(target.sigma)
+    else:
+        samples = np.asarray(target.sample(jax.random.key(7), 20000))
+        cov = np.cov(samples.T)
+
+    ess_l2hmc = evaluate_ess(trace, cov)
+    ess_hmc = evaluate_ess(hmc_trace, cov)
+    return {
+        "target": name,
+        "dim": dim,
+        "n_chains": n_chains,
+        "ess_l2hmc": ess_l2hmc,
+        "ess_hmc": ess_hmc,
+        "ess_ratio": ess_l2hmc / max(ess_hmc, 1e-12),
+        "final_accept": float(np.mean(history["p_accept"][-100:])),
+        "train_time_s": train_time,
+        "eval_time_s": eval_time,
+        "mh_steps_per_sec_eval": eval_steps / eval_time,
+    }
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument(
+        "--targets", nargs="*",
+        default=["scg", "icg", "rough_well", "ring"],
+        choices=sorted(_target_registry()),
+    )
+    p.add_argument("--n_chains", type=int, default=512)
+    p.add_argument("--n_steps", type=int, default=5000)
+    p.add_argument("--leapfrogs", type=int, default=10)
+    p.add_argument("--eval_steps", type=int, default=2000)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--out", type=str, default=None)
+    args = p.parse_args(argv)
+
+    results = []
+    for name in args.targets:
+        r = run_target(
+            name,
+            n_chains=args.n_chains,
+            n_steps=args.n_steps,
+            leapfrogs=args.leapfrogs,
+            eval_steps=args.eval_steps,
+            seed=args.seed,
+        )
+        print(json.dumps(r))
+        results.append(r)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
+    return results
+
+
+if __name__ == "__main__":
+    main()

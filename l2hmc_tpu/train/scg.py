@@ -44,9 +44,10 @@ class ScgConfig:
     lr_decay_rate: float = 0.96
     lr_decay_steps: int = 1000
     n_steps: int = 5000
-    seed: int = 42
+    seed: int = 0
     mask_seed: int = 0
     remat: bool = False
+    grad_clip: float = 0.0  # global-norm clip; 0 = off (reference SCG had none)
 
 
 class TrainState(NamedTuple):
@@ -80,7 +81,10 @@ def make_optimizer(config: ScgConfig) -> optax.GradientTransformation:
         decay_rate=config.lr_decay_rate,
         staircase=True,
     )
-    return optax.adam(schedule), schedule
+    opt = optax.adam(schedule)
+    if config.grad_clip > 0:
+        opt = optax.chain(optax.clip_by_global_norm(config.grad_clip), opt)
+    return opt, schedule
 
 
 def init_state(config: ScgConfig, dynamics: Dynamics, optimizer) -> TrainState:
