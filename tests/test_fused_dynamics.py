@@ -1,0 +1,63 @@
+"""Fused Pallas trajectory kernel vs the XLA path (interpret mode on CPU;
+the compiled kernel is exercised by bench.py on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from l2hmc_tpu import targets
+from l2hmc_tpu.ops.fused_dynamics import fused_for_target
+from l2hmc_tpu.train import ScgConfig, build_dynamics
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = ScgConfig(n_chains=256, T=4)
+    dyn, target = build_dynamics(cfg)
+    params = dyn.init_params(jax.random.key(0), eps=0.1)
+    # non-trivial nets
+    params = jax.tree_util.tree_map(
+        lambda a: a + 0.03 * jnp.ones_like(a) if a.ndim >= 1 else a, params
+    )
+    fused = fused_for_target(dyn, target, tile=128, interpret=True)
+    x = jax.random.normal(jax.random.key(1), (256, 2), jnp.float32)
+    v = jax.random.normal(jax.random.key(2), (256, 2), jnp.float32)
+    return dyn, fused, params, x, v
+
+
+@pytest.mark.parametrize("direction", ["forward", "backward"])
+def test_fused_matches_xla(setup, direction):
+    dyn, fused, params, x, v = setup
+    ref_fn = getattr(dyn, direction)
+    fus_fn = getattr(fused, direction)
+    Xr, Vr, ldr = ref_fn(params, x, v)
+    Xf, Vf, ldf = fus_fn(params, x, v)
+    np.testing.assert_allclose(np.asarray(Xf), np.asarray(Xr), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(Vf), np.asarray(Vr), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(ldf), np.asarray(ldr), rtol=2e-4, atol=2e-4)
+
+
+def test_fused_invertibility(setup):
+    dyn, fused, params, x, v = setup
+    X, V, ld = fused.forward(params, x, v)
+    x2, v2, ld_b = fused.backward(params, X, V)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(ld + ld_b), 0.0, atol=1e-3)
+
+
+def test_fused_rejects_bad_tile(setup):
+    dyn, fused, params, x, v = setup
+    import dataclasses
+
+    bad = dataclasses.replace(fused, tile=100)
+    with pytest.raises(ValueError, match="divisible"):
+        bad.forward(params, x, v)
+
+
+def test_fused_rejects_non_gaussian():
+    cfg = ScgConfig(n_chains=64, T=2)
+    dyn, _ = build_dynamics(cfg)
+    rw = targets.RoughWell(dim=2, eps=0.1)
+    with pytest.raises(ValueError, match="Gaussian"):
+        fused_for_target(dyn, rw)
