@@ -32,6 +32,7 @@ Cited reference semantics: utils/dynamics.py:115-157 (forward substep),
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any
 
 import jax
@@ -102,9 +103,75 @@ def _apply_stq(w: list, a: Array, b: Array, step: int):
     return s, t, q
 
 
+def _trajectory(
+    xnet_w, vnet_w, grad_energy, masks, eps, T: int, reverse: bool, x, v
+):
+    """Value-level T-step trajectory on transposed (D, TILE) state; shared by
+    the single-trajectory kernel and the whole-chain sampler kernel.
+    Returns (x, v, logdet)."""
+    ld = jnp.zeros_like(x[:1])  # (1, TILE)
+    steps = range(T - 1, -1, -1) if reverse else range(T)
+    for step in steps:
+        m = masks[:, step : step + 1]  # (D, 1)
+        mb = 1.0 - m
+
+        if not reverse:
+            # forward substep (utils/dynamics.py:115-157)
+            grad1 = grad_energy(x)
+            s, t, q = _apply_stq(vnet_w, x, grad1, step)
+            sv1 = 0.5 * eps * s
+            v_h = v * jnp.exp(sv1) + 0.5 * eps * (
+                -jnp.exp(eps * q) * grad1 + t
+            )
+            s, t, q = _apply_stq(xnet_w, v_h, m * x, step)
+            sx1 = eps * s
+            y = m * x + mb * (
+                x * jnp.exp(sx1) + eps * (jnp.exp(eps * q) * v_h + t)
+            )
+            s, t, q = _apply_stq(xnet_w, v_h, mb * y, step)
+            sx2 = eps * s
+            x = mb * y + m * (
+                y * jnp.exp(sx2) + eps * (jnp.exp(eps * q) * v_h + t)
+            )
+            grad2 = grad_energy(x)
+            s, t, q = _apply_stq(vnet_w, x, grad2, step)
+            sv2 = 0.5 * eps * s
+            v = v_h * jnp.exp(sv2) + 0.5 * eps * (
+                -jnp.exp(eps * q) * grad2 + t
+            )
+        else:
+            # backward substep (utils/dynamics.py:159-201)
+            grad1 = grad_energy(x)
+            s, t, q = _apply_stq(vnet_w, x, grad1, step)
+            sv2 = -0.5 * eps * s
+            v_h = (
+                v - 0.5 * eps * (-jnp.exp(eps * q) * grad1 + t)
+            ) * jnp.exp(sv2)
+            s, t, q = _apply_stq(xnet_w, v_h, mb * x, step)
+            sx2 = -eps * s
+            y = mb * x + m * jnp.exp(sx2) * (
+                x - eps * (jnp.exp(eps * q) * v_h + t)
+            )
+            s, t, q = _apply_stq(xnet_w, v_h, m * y, step)
+            sx1 = -eps * s
+            x = m * y + mb * jnp.exp(sx1) * (
+                y - eps * (jnp.exp(eps * q) * v_h + t)
+            )
+            grad2 = grad_energy(x)
+            s, t, q = _apply_stq(vnet_w, x, grad2, step)
+            sv1 = -0.5 * eps * s
+            v = jnp.exp(sv1) * (
+                v_h - 0.5 * eps * (-jnp.exp(eps * q) * grad2 + t)
+            )
+
+        ld += jnp.sum(sv1 + sv2 + mb * sx1 + m * sx2, axis=0, keepdims=True)
+    return x, v, ld
+
+
+@functools.lru_cache(maxsize=None)
 def _make_kernel(T: int, reverse: bool):
-    """Trajectory kernel body; the T-step loop is unrolled at trace time with
-    static step indices into the (K, T) per-step constant arrays."""
+    """Single-trajectory kernel body; the T-step loop is unrolled at trace
+    time with static step indices into the (K, T) per-step constant arrays."""
 
     def kernel(eps_ref, prec_ref, mu_ref, masks_ref, *refs):
         xnet_w = [r[:] for r in refs[:_NET_ARRAYS]]
@@ -120,74 +187,15 @@ def _make_kernel(T: int, reverse: bool):
             # grad of 0.5 (x-mu)^T P (x-mu), transposed layout: P (x - mu)
             return jnp.dot(prec, x - mu, preferred_element_type=jnp.float32)
 
-        x = x_ref[:]
-        v = v_ref[:]
-        ld = jnp.zeros_like(x[:1])  # (1, TILE)
-
-        steps = range(T - 1, -1, -1) if reverse else range(T)
-        for step in steps:
-            m = masks_ref[:, step : step + 1]  # (D, 1)
-            mb = 1.0 - m
-
-            if not reverse:
-                # forward substep (utils/dynamics.py:115-157)
-                grad1 = grad_energy(x)
-                s, t, q = _apply_stq(vnet_w, x, grad1, step)
-                sv1 = 0.5 * eps * s
-                v_h = v * jnp.exp(sv1) + 0.5 * eps * (
-                    -jnp.exp(eps * q) * grad1 + t
-                )
-                s, t, q = _apply_stq(xnet_w, v_h, m * x, step)
-                sx1 = eps * s
-                y = m * x + mb * (
-                    x * jnp.exp(sx1) + eps * (jnp.exp(eps * q) * v_h + t)
-                )
-                s, t, q = _apply_stq(xnet_w, v_h, mb * y, step)
-                sx2 = eps * s
-                x = mb * y + m * (
-                    y * jnp.exp(sx2) + eps * (jnp.exp(eps * q) * v_h + t)
-                )
-                grad2 = grad_energy(x)
-                s, t, q = _apply_stq(vnet_w, x, grad2, step)
-                sv2 = 0.5 * eps * s
-                v = v_h * jnp.exp(sv2) + 0.5 * eps * (
-                    -jnp.exp(eps * q) * grad2 + t
-                )
-            else:
-                # backward substep (utils/dynamics.py:159-201)
-                grad1 = grad_energy(x)
-                s, t, q = _apply_stq(vnet_w, x, grad1, step)
-                sv2 = -0.5 * eps * s
-                v_h = (
-                    v - 0.5 * eps * (-jnp.exp(eps * q) * grad1 + t)
-                ) * jnp.exp(sv2)
-                s, t, q = _apply_stq(xnet_w, v_h, mb * x, step)
-                sx2 = -eps * s
-                y = mb * x + m * jnp.exp(sx2) * (
-                    x - eps * (jnp.exp(eps * q) * v_h + t)
-                )
-                s, t, q = _apply_stq(xnet_w, v_h, m * y, step)
-                sx1 = -eps * s
-                x = m * y + mb * jnp.exp(sx1) * (
-                    y - eps * (jnp.exp(eps * q) * v_h + t)
-                )
-                grad2 = grad_energy(x)
-                s, t, q = _apply_stq(vnet_w, x, grad2, step)
-                sv1 = -0.5 * eps * s
-                v = jnp.exp(sv1) * (
-                    v_h - 0.5 * eps * (-jnp.exp(eps * q) * grad2 + t)
-                )
-
-            ld += jnp.sum(
-                sv1 + sv2 + mb * sx1 + m * sx2, axis=0, keepdims=True
-            )
-
+        x, v, ld = _trajectory(
+            xnet_w, vnet_w, grad_energy, masks_ref[:], eps, T, reverse,
+            x_ref[:], v_ref[:],
+        )
         xo_ref[:] = x
         vo_ref[:] = v
         ld_ref[:] = ld
 
     return kernel
-
 
 @dataclasses.dataclass(frozen=True)
 class FusedGaussianDynamics:
@@ -204,6 +212,57 @@ class FusedGaussianDynamics:
     tile: int = 2048
     interpret: bool = False
 
+    def __post_init__(self):
+        # cached jitted pallas entry points, keyed by (n, tile, reverse):
+        # rebuilding the kernel closure per call would defeat jit's compile
+        # cache and recompile the Mosaic program on every invocation
+        object.__setattr__(self, "_jit_cache", {})
+
+    def _get_callable(self, n: int, tile: int, reverse: bool):
+        key = (n, tile, reverse)
+        fn = self._jit_cache.get(key)
+        if fn is not None:
+            return fn
+        dyn = self.dynamics
+        d = dyn.dim
+        kernel = _make_kernel(dyn.T, reverse)
+        full = pl.BlockSpec(memory_space=pltpu.VMEM)
+        state_spec = pl.BlockSpec(
+            (d, tile), lambda i: (0, i), memory_space=pltpu.VMEM
+        )
+        ld_spec = pl.BlockSpec(
+            (1, tile), lambda i: (0, i), memory_space=pltpu.VMEM
+        )
+        n_weights = 2 * _NET_ARRAYS
+
+        @jax.jit
+        def call(eps, prec, mu, masks, xnet_w, vnet_w, xT, vT):
+            return pl.pallas_call(
+                kernel,
+                grid=(n // tile,),
+                in_specs=[
+                    pl.BlockSpec(
+                        (1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
+                    ),
+                    full,  # prec
+                    full,  # mu
+                    full,  # masks
+                    *([full] * n_weights),
+                    state_spec,  # x
+                    state_spec,  # v
+                ],
+                out_specs=(state_spec, state_spec, ld_spec),
+                out_shape=(
+                    jax.ShapeDtypeStruct((d, n), jnp.float32),
+                    jax.ShapeDtypeStruct((d, n), jnp.float32),
+                    jax.ShapeDtypeStruct((1, n), jnp.float32),
+                ),
+                interpret=self.interpret,
+            )(eps, prec, mu, masks, *xnet_w, *vnet_w, xT, vT)
+
+        self._jit_cache[key] = call
+        return call
+
     def _run(self, params, x: Array, v: Array, reverse: bool):
         dyn = self.dynamics
         d = dyn.dim
@@ -219,37 +278,8 @@ class FusedGaussianDynamics:
         mu = jnp.asarray(self.mu, jnp.float32).reshape(d, 1)
         masks = jnp.asarray(dyn.masks.T, jnp.float32)  # (D, T)
 
-        kernel = _make_kernel(dyn.T, reverse)
-
-        full = pl.BlockSpec(memory_space=pltpu.VMEM)
-        state_spec = pl.BlockSpec(
-            (d, tile), lambda i: (0, i), memory_space=pltpu.VMEM
-        )
-        ld_spec = pl.BlockSpec(
-            (1, tile), lambda i: (0, i), memory_space=pltpu.VMEM
-        )
-        n_weights = 2 * _NET_ARRAYS
-
-        xo, vo, ld = pl.pallas_call(
-            kernel,
-            grid=(n // tile,),
-            in_specs=[
-                pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-                full,  # prec
-                full,  # mu
-                full,  # masks
-                *([full] * n_weights),
-                state_spec,  # x
-                state_spec,  # v
-            ],
-            out_specs=(state_spec, state_spec, ld_spec),
-            out_shape=(
-                jax.ShapeDtypeStruct((d, n), jnp.float32),
-                jax.ShapeDtypeStruct((d, n), jnp.float32),
-                jax.ShapeDtypeStruct((1, n), jnp.float32),
-            ),
-            interpret=self.interpret,
-        )(eps, prec, mu, masks, *xnet_w, *vnet_w, x.T, v.T)
+        call = self._get_callable(n, tile, reverse)
+        xo, vo, ld = call(eps, prec, mu, masks, xnet_w, vnet_w, x.T, v.T)
         return xo.T, vo.T, ld[0]
 
     def forward(self, params, x, v, **kw):
@@ -275,3 +305,200 @@ def fused_for_target(dynamics: Dynamics, target, **kw) -> FusedGaussianDynamics:
             "fused dynamics requires a Gaussian-family target with mu/_prec"
         )
     return FusedGaussianDynamics(dynamics, np.asarray(prec), np.asarray(mu), **kw)
+
+
+# -- whole-chain sampler kernel ----------------------------------------------
+
+
+def _random_uniform(shape):
+    """U[0,1) from the per-core PRNG (24-bit mantissa construction).
+
+    ``prng_random_bits`` may surface as a signed int type — bitcast to
+    uint32 before shifting or half the draws go negative (which silently
+    turns Metropolis into always-accept and blows chains up)."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    # logical shift as uint32 keeps the top 24 bits positive; Mosaic lacks a
+    # uint32->f32 cast, so round-trip through int32 (value < 2^24, safe)
+    top24 = pltpu.bitcast(bits >> 8, jnp.int32)
+    return top24.astype(jnp.float32) * (1.0 / (1 << 24))
+
+
+def _random_normal(shape):
+    """Standard normals via Box-Muller from two uniform draws."""
+    u1 = jnp.maximum(_random_uniform(shape), 1e-7)
+    u2 = _random_uniform(shape)
+    return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * jnp.pi * u2)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_chain_kernel(T: int, n_mh_steps: int):
+    """K Metropolis-Hastings steps of the full direction-randomized L2HMC
+    sampler in ONE kernel launch: momentum/direction/accept randomness from
+    the in-kernel PRNG, both trajectory directions, Hamiltonians, accept —
+    all VMEM-resident. The MH loop is a fori_loop (program size stays one
+    step); the T-step trajectory inside is unrolled (static mask indices).
+
+    Mirrors mcmc.propose + metropolis (utils/sampler.py:28-55) with its own
+    RNG streams (per-tile seeds; not bitwise-matched to the XLA path — the
+    statistical oracles in tests cover it).
+    """
+
+    def kernel(seed_ref, eps_ref, prec_ref, mu_ref, masks_ref, *refs):
+        xnet_w = [r[:] for r in refs[:_NET_ARRAYS]]
+        vnet_w = [r[:] for r in refs[_NET_ARRAYS : 2 * _NET_ARRAYS]]
+        x_ref = refs[2 * _NET_ARRAYS]
+        xo_ref, acc_ref = refs[-2], refs[-1]
+
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+
+        eps = eps_ref[0, 0]
+        prec = prec_ref[:]
+        mu = mu_ref[:]
+        masks = masks_ref[:]
+
+        def grad_energy(x):
+            return jnp.dot(prec, x - mu, preferred_element_type=jnp.float32)
+
+        def energy(x):
+            d = x - mu
+            return jnp.sum(
+                d * jnp.dot(prec, d, preferred_element_type=jnp.float32),
+                axis=0,
+                keepdims=True,
+            ) * 0.5
+
+        def kinetic(v):
+            return 0.5 * jnp.sum(jnp.square(v), axis=0, keepdims=True)
+
+        def mh_step(_, carry):
+            x, acc_count = carry
+            v = _random_normal(x.shape)
+            xf, vf, ldf = _trajectory(
+                xnet_w, vnet_w, grad_energy, masks, eps, T, False, x, v
+            )
+            xb, vb, ldb = _trajectory(
+                xnet_w, vnet_w, grad_energy, masks, eps, T, True, x, v
+            )
+            fwd = (_random_uniform((1, x.shape[1])) < 0.5).astype(x.dtype)
+            xp = fwd * xf + (1.0 - fwd) * xb
+            vp = fwd * vf + (1.0 - fwd) * vb
+            lj = fwd * ldf + (1.0 - fwd) * ldb
+
+            h0 = energy(x) + kinetic(v)
+            h1 = energy(xp) + kinetic(vp)
+            px = jnp.exp(jnp.minimum(h0 - h1 + lj, 0.0))
+            px = jnp.where(jnp.isfinite(px), px, jnp.zeros_like(px))
+            u = _random_uniform(px.shape)
+            acc = (px - u >= 0.0).astype(x.dtype)
+            x_new = acc * xp + (1.0 - acc) * x
+            return x_new, acc_count + acc
+
+        x0 = x_ref[:]
+        acc0 = jnp.zeros_like(x0[:1])
+        x_final, acc_count = jax.lax.fori_loop(
+            0, n_mh_steps, mh_step, (x0, acc0)
+        )
+        xo_ref[:] = x_final
+        acc_ref[:] = acc_count * (1.0 / n_mh_steps)
+
+    return kernel
+
+
+@dataclasses.dataclass(frozen=True)
+class FusedChainSampler:
+    """K MH steps per kernel launch — the maximum-fusion sampling path.
+
+    ``run(params, x, seed, n_mh_steps)`` advances every chain by
+    ``n_mh_steps`` direction-randomized L2HMC proposals + MH accepts and
+    returns (x_final, mean acceptance per chain). Use for burn-in and
+    throughput-critical sampling; use FusedGaussianDynamics when the caller
+    needs per-step traces or JAX-keyed randomness.
+    """
+
+    dynamics: Dynamics
+    prec: np.ndarray
+    mu: np.ndarray
+    tile: int = 2048
+    interpret: bool = False
+
+    def __post_init__(self):
+        object.__setattr__(self, "_jit_cache", {})
+
+    def run(self, params, x: Array, seed: int, n_mh_steps: int):
+        dyn = self.dynamics
+        d = dyn.dim
+        n = x.shape[0]
+        tile = min(self.tile, n)
+        if n % tile != 0:
+            raise ValueError(f"n_chains {n} must be divisible by tile {tile}")
+
+        xnet_w = _extract_net(params["xnet"], dyn.times)
+        vnet_w = _extract_net(params["vnet"], dyn.times)
+        eps = jnp.reshape(dyn.eps(params), (1, 1))
+        prec = jnp.asarray(self.prec, jnp.float32)
+        mu = jnp.asarray(self.mu, jnp.float32).reshape(d, 1)
+        masks = jnp.asarray(dyn.masks.T, jnp.float32)
+        seed_arr = jnp.asarray([seed], jnp.int32)
+
+        call = self._get_callable(n, tile, n_mh_steps)
+        xo, acc = call(
+            seed_arr, eps, prec, mu, masks, xnet_w, vnet_w, x.T
+        )
+        return xo.T, acc[0]
+
+    def _get_callable(self, n: int, tile: int, n_mh_steps: int):
+        key = (n, tile, n_mh_steps)
+        fn = self._jit_cache.get(key)
+        if fn is not None:
+            return fn
+        dyn = self.dynamics
+        d = dyn.dim
+        kernel = _make_chain_kernel(dyn.T, n_mh_steps)
+        full = pl.BlockSpec(memory_space=pltpu.VMEM)
+        state_spec = pl.BlockSpec(
+            (d, tile), lambda i: (0, i), memory_space=pltpu.VMEM
+        )
+        acc_spec = pl.BlockSpec(
+            (1, tile), lambda i: (0, i), memory_space=pltpu.VMEM
+        )
+        n_weights = 2 * _NET_ARRAYS
+
+        @jax.jit
+        def call(seed_arr, eps, prec, mu, masks, xnet_w, vnet_w, xT):
+            return pl.pallas_call(
+                kernel,
+                grid=(n // tile,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,)
+                    pl.BlockSpec(
+                        (1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
+                    ),
+                    full,  # prec
+                    full,  # mu
+                    full,  # masks
+                    *([full] * n_weights),
+                    state_spec,  # x
+                ],
+                out_specs=(state_spec, acc_spec),
+                out_shape=(
+                    jax.ShapeDtypeStruct((d, n), jnp.float32),
+                    jax.ShapeDtypeStruct((1, n), jnp.float32),
+                ),
+                interpret=self.interpret,
+            )(seed_arr, eps, prec, mu, masks, *xnet_w, *vnet_w, xT)
+
+        self._jit_cache[key] = call
+        return call
+
+
+def fused_chain_sampler(dynamics: Dynamics, target, **kw) -> FusedChainSampler:
+    """Whole-chain fused sampler for a Gaussian-family target."""
+    if dynamics.hmc:
+        raise ValueError("fused kernel targets the trained sampler path")
+    prec = getattr(target, "_prec", None)
+    mu = getattr(target, "mu", None)
+    if prec is None or mu is None:
+        raise ValueError(
+            "fused dynamics requires a Gaussian-family target with mu/_prec"
+        )
+    return FusedChainSampler(dynamics, np.asarray(prec), np.asarray(mu), **kw)

@@ -61,3 +61,28 @@ def test_fused_rejects_non_gaussian():
     rw = targets.RoughWell(dim=2, eps=0.1)
     with pytest.raises(ValueError, match="Gaussian"):
         fused_for_target(dyn, rw)
+
+
+def test_fused_chain_sampler_statistics(setup):
+    """Whole-chain kernel: chains move, acceptance sane, state finite."""
+    from l2hmc_tpu.ops import fused_chain_sampler
+    from l2hmc_tpu.train import ScgConfig, build_dynamics
+
+    cfg = ScgConfig(n_chains=256, T=4)
+    dyn, target = build_dynamics(cfg)
+    params = dyn.init_params(jax.random.key(0), eps=0.1)
+    sampler = fused_chain_sampler(dyn, target, tile=128)
+    x0 = jax.random.normal(jax.random.key(1), (256, 2), jnp.float32)
+    # plain interpret=True lacks the TPU PRNG primitives on CPU; the TPU
+    # interpreter emulates them
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        x1, acc = sampler.run(params, x0, seed=7, n_mh_steps=5)
+    assert x1.shape == x0.shape
+    a = np.asarray(acc)
+    assert (a >= 0).all() and (a <= 1).all()
+    assert 0.3 < a.mean() <= 1.0  # near-identity nets, eps=0.1: high accept
+    moved = np.abs(np.asarray(x1) - np.asarray(x0)).max(axis=1) > 0
+    assert moved.mean() > 0.5
+    assert np.isfinite(np.asarray(x1)).all()
