@@ -24,11 +24,17 @@ BASELINE_ESS_RATIO = 46.0  # SCGExperiment.ipynb cell 21 stored output
 
 
 def leapfrog_throughput(n_chains: int = 8192, T: int = 10, iters: int = 50):
-    """Leapfrog steps/sec of the full L2HMC proposal at scale."""
+    """Leapfrog steps/sec of the full L2HMC proposal at scale: the XLA
+    scan-of-propose path vs the fused whole-chain Pallas kernel
+    (ops/fused_dynamics.py). Returns (xla, fused) in chain-leapfrog
+    steps/sec; each proposal runs forward AND backward trajectories, so one
+    MH step = 2*T leapfrogs per chain."""
+    from l2hmc_tpu.ops import fused_chain_sampler
+
     cfg = ScgConfig(n_chains=n_chains, T=T)
     dynamics, target = build_dynamics(cfg)
     params = dynamics.init_params(jax.random.key(0), eps=cfg.eps)
-    x = jax.random.normal(jax.random.key(1), (n_chains, cfg.dim))
+    x = target.sample(jax.random.key(1), n_chains)
 
     @jax.jit
     def chain(x, key):
@@ -43,9 +49,18 @@ def leapfrog_throughput(n_chains: int = 8192, T: int = 10, iters: int = 50):
     jax.block_until_ready(chain(x, jax.random.key(2)))  # compile
     t0 = time.perf_counter()
     jax.block_until_ready(chain(x, jax.random.key(3)))
-    dt = time.perf_counter() - t0
-    # each proposal runs forward AND backward trajectories: 2*T leapfrogs
-    return iters * 2 * T * n_chains / dt
+    xla = iters * 2 * T * n_chains / (time.perf_counter() - t0)
+
+    sampler = fused_chain_sampler(dynamics, target, tile=2048)
+    jax.block_until_ready(sampler.run(params, x, seed=0, n_mh_steps=iters)[0])
+    reps = 10
+    t0 = time.perf_counter()
+    xr = x
+    for rep in range(reps):  # chained: each call consumes the previous state
+        xr, _ = sampler.run(params, xr, seed=rep + 1, n_mh_steps=iters)
+    jax.block_until_ready(xr)
+    fused = reps * iters * 2 * T * n_chains / (time.perf_counter() - t0)
+    return xla, fused
 
 
 def main():
@@ -57,7 +72,7 @@ def main():
     metrics = run_experiment(
         ScgConfig(n_chains=1024, seed=1), eval_steps=2000, hmc_eps=0.15
     )
-    lf_per_sec = leapfrog_throughput()
+    lf_xla, lf_fused = leapfrog_throughput()
     ratio = metrics["ess_ratio"]
     result = {
         "metric": "scg_ess_ratio",
@@ -71,7 +86,8 @@ def main():
             "final_loss": round(metrics["final_loss"], 1),
             "train_time_s": round(metrics["train_time_s"], 2),
             "eval_time_s": round(metrics["eval_time_s"], 2),
-            "leapfrog_steps_per_sec_8192chains": round(lf_per_sec),
+            "leapfrog_steps_per_sec_8192chains_xla": round(lf_xla),
+            "leapfrog_steps_per_sec_8192chains_fused": round(lf_fused),
             "device": str(jax.devices()[0]),
         },
     }
