@@ -4,6 +4,8 @@
 from l2hmc_tpu.evals.ais import ais_estimate, standard_normal_energy
 from l2hmc_tpu.evals.metrics import (
     accept_numpy,
+    gaussian_log_likelihood,
+    numerical_jacobian,
     acl_spectrum,
     autocovariance,
     ess,
@@ -15,6 +17,8 @@ __all__ = [
     "ais_estimate",
     "standard_normal_energy",
     "accept_numpy",
+    "gaussian_log_likelihood",
+    "numerical_jacobian",
     "acl_spectrum",
     "autocovariance",
     "ess",

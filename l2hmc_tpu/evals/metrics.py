@@ -78,3 +78,17 @@ def normal_kl(q_means, q_stddevs, p_means, p_stddevs) -> Array:
     cross += 0.5 * jnp.square((q_means - p_means) / p_stddevs)
     cross += jnp.log(p_stddevs)
     return jnp.sum(-q_entropy + cross, axis=-1)
+
+
+def gaussian_log_likelihood(x: np.ndarray, target) -> float:
+    """Mean log-density of samples under a Gaussian target
+    (reference get_log_likelihood, utils/func_utils.py:59-61)."""
+    import jax.numpy as _jnp
+
+    return float(jnp.mean(target.log_density(_jnp.asarray(x))))
+
+
+def numerical_jacobian(fn, x: Array) -> Array:
+    """Dense Jacobian of a single-row map — the reference's logdet test
+    oracle (utils/func_utils.py:56-57), rebuilt with jax.jacfwd."""
+    return jax.jacfwd(fn)(x)

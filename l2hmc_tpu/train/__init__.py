@@ -11,6 +11,7 @@ from l2hmc_tpu.train.scg import (
     make_train_step,
     run_experiment,
     sample_chain,
+    temperature_at,
     train,
 )
 
@@ -25,5 +26,6 @@ __all__ = [
     "make_train_step",
     "run_experiment",
     "sample_chain",
+    "temperature_at",
     "train",
 ]

@@ -48,6 +48,12 @@ class ScgConfig:
     mask_seed: int = 0
     remat: bool = False
     grad_clip: float = 0.0  # global-norm clip; 0 = off (reference SCG had none)
+    # temperature annealing (arXiv 1711.09268 uses it; the reference wires
+    # temperature through Dynamics, utils/dynamics.py:203-212, but leaves it
+    # off in every driver). 1.0 disables; > 1 anneals linearly to 1 over
+    # `anneal_frac` of training.
+    init_temperature: float = 1.0
+    anneal_frac: float = 0.8
 
 
 class TrainState(NamedTuple):
@@ -70,8 +76,18 @@ def build_dynamics(config: ScgConfig, target=None) -> tuple[Dynamics, Any]:
         xnet=xnet,
         vnet=vnet,
         mask_seed=config.mask_seed,
+        use_temperature=config.init_temperature > 1.0,
     )
     return dyn, target
+
+
+def temperature_at(config: ScgConfig, step) -> Array:
+    """Linear anneal init_temperature -> 1 over anneal_frac of training."""
+    if config.init_temperature <= 1.0:
+        return jnp.asarray(1.0, jnp.float32)
+    anneal_steps = max(int(config.n_steps * config.anneal_frac), 1)
+    frac = jnp.clip(1.0 - step / anneal_steps, 0.0, 1.0)
+    return 1.0 + (config.init_temperature - 1.0) * frac.astype(jnp.float32)
 
 
 def make_optimizer(config: ScgConfig) -> optax.GradientTransformation:
@@ -102,14 +118,16 @@ def make_train_step(config: ScgConfig, dynamics: Dynamics, optimizer):
     chain state advanced by the x-proposal's MH output (cell 12 fetches
     ``output[0]``)."""
 
-    def loss_fn(params, x, key):
+    def loss_fn(params, x, key, temperature):
         k_x, k_z, k_zprop = jax.random.split(key, 3)
         out_x = mcmc.propose(
-            k_x, dynamics, params, x, do_mh_step=True, remat=config.remat
+            k_x, dynamics, params, x, do_mh_step=True, remat=config.remat,
+            temperature=temperature,
         )
         z = jax.random.normal(k_z, x.shape, x.dtype)
         out_z = mcmc.propose(
-            k_zprop, dynamics, params, z, remat=config.remat
+            k_zprop, dynamics, params, z, remat=config.remat,
+            temperature=temperature,
         )
         loss = mcmc.scg_joint_loss(
             x, out_x.x_prop, out_x.p_accept,
@@ -120,9 +138,10 @@ def make_train_step(config: ScgConfig, dynamics: Dynamics, optimizer):
 
     def train_step(state: TrainState, _) -> tuple[TrainState, dict]:
         key, k_step = jax.random.split(state.key)
+        temperature = temperature_at(config, state.step)
         (loss, (x_next, px)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(state.params, state.x, k_step)
+        )(state.params, state.x, k_step, temperature)
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.params
         )
@@ -132,6 +151,7 @@ def make_train_step(config: ScgConfig, dynamics: Dynamics, optimizer):
             "loss": loss,
             "p_accept": jnp.mean(px),
             "eps": dynamics.eps(params),
+            "temperature": temperature,
         }
         return new_state, metrics
 

@@ -42,3 +42,17 @@ def test_train_resume_continuity():
     assert int(state1.step) == 20
     state2, _ = train(cfg, state=state1)
     assert int(state2.step) == 40
+
+
+def test_temperature_annealing():
+    """init_temperature > 1 anneals to 1 and trains stably
+    (paper feature; reference wired but never used it)."""
+    import jax.numpy as jnp
+    from l2hmc_tpu.train import ScgConfig, temperature_at, train
+
+    cfg = ScgConfig(n_steps=30, n_chains=16, T=3, init_temperature=5.0)
+    assert float(temperature_at(cfg, jnp.asarray(0))) == 5.0
+    assert float(temperature_at(cfg, jnp.asarray(cfg.n_steps))) == 1.0
+    state, hist = train(cfg)
+    assert np.isfinite(hist["loss"]).all()
+    assert hist["temperature"][0] > hist["temperature"][-1]
