@@ -35,7 +35,9 @@ def acl_spectrum(X: Array, scale: Array | float, max_lag: int | None = None) -> 
     dT, dN, _ = X.shape
     L = dT - 1 if max_lag is None else max_lag
 
-    # masked formulation: static shapes per lag, vmap-able over tau
+    # masked formulation: static shapes per lag. lax.map (not vmap) — vmap
+    # materializes one rolled copy of the whole trace per lag, which OOMs at
+    # (2000, 2048, d) x 300 lags; sequential lags keep memory at one trace.
     t_idx = jnp.arange(dT)
 
     def cov_at(tau):
@@ -45,7 +47,7 @@ def acl_spectrum(X: Array, scale: Array | float, max_lag: int | None = None) -> 
         s = jnp.sum(X * shifted, axis=(1, 2)) / dN
         return jnp.sum(s * valid) / (dT - tau)
 
-    return jax.vmap(cov_at)(jnp.arange(L))
+    return jax.lax.map(cov_at, jnp.arange(L))
 
 
 def ess(spectrum: Array, threshold: float = 0.05) -> Array:
