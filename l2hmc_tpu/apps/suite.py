@@ -42,6 +42,23 @@ def _target_registry() -> dict[str, Callable]:
     }
 
 
+# Per-target hyperparameters. One config does not fit all (measured on v5e):
+# - rough_well: the cos(x/eps^2) term has period ~0.06, so leapfrog at
+#   eps=0.1 is unstable — acceptance collapses to ~0 for both samplers.
+# - ring/mog2: widely-separated modes need temperature annealing (the
+#   paper's own recipe for MoG targets) for the sampler to learn hops.
+# - icg (50-d): hidden=10 is too small; scale the net with the dimension.
+# - funnel: the neck needs a small step size to keep acceptance alive.
+_TARGET_OVERRIDES: dict[str, dict] = {
+    "scg": {},
+    "icg": {"hidden": 50, "eps": 0.1, "hmc_eps": 0.15},
+    "rough_well": {"eps": 0.02, "hmc_eps": 0.02},
+    "ring": {"init_temperature": 5.0, "hmc_eps": 0.25, "eps": 0.2},
+    "mog2": {"init_temperature": 10.0, "hmc_eps": 0.25, "eps": 0.25},
+    "funnel": {"eps": 0.05, "hmc_eps": 0.05, "hidden": 20, "grad_clip": 5.0},
+}
+
+
 def run_target(
     name: str,
     *,
@@ -51,14 +68,28 @@ def run_target(
     eval_steps: int = 2000,
     hmc_eps: float = 0.15,
     hidden: int = 10,
+    eps: float = 0.1,
+    init_temperature: float = 1.0,
     seed: int = 42,
+    apply_overrides: bool = True,
 ) -> dict:
     """Train L2HMC on one suite target and compare ESS against plain HMC.
 
     Uses the covariance-trace normalization of the SCG protocol where the
     target has a known covariance; otherwise normalizes by the empirical
-    second moment of exact samples.
+    second moment of exact samples. Per-target hyperparameters come from
+    ``_TARGET_OVERRIDES`` unless ``apply_overrides=False``.
     """
+    if apply_overrides:
+        ov = _TARGET_OVERRIDES.get(name, {})
+        hidden = ov.get("hidden", hidden)
+        eps = ov.get("eps", eps)
+        hmc_eps = ov.get("hmc_eps", hmc_eps)
+        init_temperature = ov.get("init_temperature", init_temperature)
+        grad_clip = ov.get("grad_clip", 0.0)
+    else:
+        grad_clip = 0.0
+
     target = _target_registry()[name]()
     dim = target.dim
     cfg = ScgConfig(
@@ -66,8 +97,11 @@ def run_target(
         n_chains=n_chains,
         T=leapfrogs,
         hidden=hidden,
+        eps=eps,
         n_steps=n_steps,
         seed=seed,
+        init_temperature=init_temperature,
+        grad_clip=grad_clip,
     )
     dynamics, _ = build_dynamics(cfg, target)
 

@@ -35,16 +35,15 @@ class GaussianFunnel(Target):
         log_p_v = jnp.square(v / self.sigma)
         sum_sq = jnp.sum(jnp.square(x[:, 1:]), axis=1)
         n = float(self.dim - 1)
-
-        def e_at(s):
-            return 0.5 * (log_p_v + sum_sq / s + n * jnp.log(2.0 * jnp.pi * s))
-
-        e = e_at(jnp.exp(v))
-        e_hi = e_at(jnp.exp(jnp.asarray(self.clip, x.dtype)))
-        e_lo = e_at(jnp.exp(jnp.asarray(-self.clip, x.dtype)))
-        e = jnp.where(v > self.clip, e_hi, e)
-        e = jnp.where(v < -self.clip, e_lo, e)
-        return e
+        # The reference computed the unclipped energy for every row and
+        # selected the safe branch with tf.where (utils/distributions.py:
+        # 169-177). Under autodiff that leaks NaN through the *unselected*
+        # branch once exp(v) overflows float32 — measured: training drives
+        # alpha to NaN. Clamping v before the exp gives identical values
+        # (outside the clip, s is the boundary constant, exactly the
+        # reference's E_safe branches) and finite gradients everywhere.
+        s = jnp.exp(jnp.clip(v, -self.clip, self.clip))
+        return 0.5 * (log_p_v + sum_sq / s + n * jnp.log(2.0 * jnp.pi * s))
 
     def sample(self, key: Array, n: int, dtype=jnp.float32) -> Array:
         """Exact funnel sampler (reference utils/distributions.py:182-190):

@@ -54,6 +54,10 @@ class ScgConfig:
     # `anneal_frac` of training.
     init_temperature: float = 1.0
     anneal_frac: float = 0.8
+    # drop non-finite gradient updates instead of poisoning Adam state
+    # (no-op on healthy runs; saves hard targets like the funnel where a
+    # single diverged trajectory otherwise NaNs alpha permanently)
+    skip_nonfinite_updates: bool = True
 
 
 class TrainState(NamedTuple):
@@ -100,6 +104,8 @@ def make_optimizer(config: ScgConfig) -> optax.GradientTransformation:
     opt = optax.adam(schedule)
     if config.grad_clip > 0:
         opt = optax.chain(optax.clip_by_global_norm(config.grad_clip), opt)
+    if config.skip_nonfinite_updates:
+        opt = optax.apply_if_finite(opt, max_consecutive_errors=10**6)
     return opt, schedule
 
 
