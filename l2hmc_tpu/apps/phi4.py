@@ -49,14 +49,15 @@ def magnetization_ess(m_trace: np.ndarray) -> float:
 
 def run(
     L: int = 16,
-    m2: float = -4.0,
-    lam: float = 1.0,
+    m2: float = -1.0,
+    lam: float = 0.5,
     n_chains: int = 512,
     n_steps: int = 2000,
     leapfrogs: int = 10,
     hidden: int = 32,
     eval_steps: int = 1000,
     hmc_eps: float = 0.1,
+    init_temperature: float = 1.0,
     seed: int = 0,
     log_every: int = 0,
 ) -> dict:
@@ -68,6 +69,7 @@ def run(
         hidden=hidden,
         n_steps=n_steps,
         seed=seed,
+        init_temperature=init_temperature,
     )
     dynamics, _ = build_dynamics(cfg, target)
 
@@ -105,8 +107,9 @@ def run(
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--L", type=int, default=16)
-    p.add_argument("--m2", type=float, default=-4.0)
-    p.add_argument("--lam", type=float, default=1.0)
+    p.add_argument("--m2", type=float, default=-1.0)
+    p.add_argument("--lam", type=float, default=0.5)
+    p.add_argument("--init_temperature", type=float, default=1.0)
     p.add_argument("--n_chains", type=int, default=512)
     p.add_argument("--n_steps", type=int, default=2000)
     p.add_argument("--leapfrogs", type=int, default=10)

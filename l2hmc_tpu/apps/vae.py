@@ -498,4 +498,19 @@ def train(
                     writer.write(int(state.step), metrics)
         if logdir and e % cfg.eval_samples_every == 0:
             save_checkpoint(f"{logdir}/ckpt", state, config=cfg)
+            _save_sample_grid(model, state, logdir, e)
     return model, state, last
+
+
+def _save_sample_grid(model: VaeModel, state: VaeState, logdir: str, epoch: int):
+    """Decoded-sample image grid per eval epoch (the reference's
+    tf.summary.image 'samples', mnist_vae.py:281-288,333-336)."""
+    try:
+        from l2hmc_tpu.apps.notebook_utils import plot_grid
+    except Exception:
+        return
+    imgs = generate_samples(model, state.params, jax.random.key(epoch), n=64)
+    try:
+        plot_grid(np.asarray(imgs), n=8, path=f"{logdir}/samples_{epoch:04d}.png")
+    except Exception:
+        pass  # matplotlib optional
