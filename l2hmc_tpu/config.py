@@ -35,7 +35,15 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 @dataclasses.dataclass(frozen=True)
 class Precision:
-    """Dtype policy threaded through nets and dynamics."""
+    """Dtype policy for mixed-precision experiments.
+
+    The framework currently runs float32 end-to-end with true-f32 matmul
+    precision (see the global flag below) because MCMC acceptance is
+    bf16-intolerant; this policy object is the hook for selectively lowering
+    *net-internal* compute (safe: the map stays exactly invertible because
+    forward and backward recompute identical values) without touching the
+    energy/Hamiltonian/logdet accumulation path.
+    """
 
     param_dtype: jnp.dtype = jnp.float32
     compute_dtype: jnp.dtype = jnp.float32  # set to bfloat16 for MXU-heavy nets

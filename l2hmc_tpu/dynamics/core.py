@@ -57,6 +57,24 @@ def make_masks(mask_seed: int, T: int, dim: int) -> np.ndarray:
     return masks
 
 
+def clip_with_grad(u: Array, min_u: float = -32.0, max_u: float = 32.0) -> Array:
+    """Straight-through clip: clamps the value, passes gradients unchanged
+    (reference Dynamics.clip_with_grad, utils/dynamics.py:110-113 — defined
+    but unused there; kept as public API parity)."""
+    u = u - jax.lax.stop_gradient(jax.nn.relu(u - max_u))
+    u = u + jax.lax.stop_gradient(jax.nn.relu(min_u - u))
+    return u
+
+
+def make_alternating_masks(T: int, dim: int) -> np.ndarray:
+    """Deterministic even/odd masks (reference Dynamics._gen_mask,
+    utils/dynamics.py:220-229 — the non-random alternative the reference kept
+    commented out)."""
+    m = np.zeros((dim,), np.float32)
+    m[::2] = 1.0
+    return np.tile(m, (T, 1))
+
+
 def time_encoding(T: int) -> np.ndarray:
     """(T, 2) [cos, sin](2*pi*t/T) features (reference utils/dynamics.py:99-105)."""
     t = np.arange(T, dtype=np.float32)

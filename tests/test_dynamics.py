@@ -212,3 +212,24 @@ def test_dynamics_with_aux_energy(key):
     X, V, ld = dyn.forward(params, x, v, aux=aux)
     x2, v2, ld_b = dyn.backward(params, X, V, aux=aux)
     np.testing.assert_allclose(np.asarray(x2), np.asarray(x), rtol=1e-4, atol=1e-5)
+
+
+def test_clip_with_grad():
+    """Straight-through clip: clamped values, identity gradient
+    (utils/dynamics.py:110-113)."""
+    from l2hmc_tpu.dynamics import clip_with_grad
+
+    u = jnp.array([-50.0, 0.0, 50.0])
+    np.testing.assert_allclose(
+        np.asarray(clip_with_grad(u)), [-32.0, 0.0, 32.0]
+    )
+    g = jax.grad(lambda x: jnp.sum(clip_with_grad(x)))(u)
+    np.testing.assert_allclose(np.asarray(g), 1.0)
+
+
+def test_make_alternating_masks():
+    from l2hmc_tpu.dynamics import make_alternating_masks
+
+    m = make_alternating_masks(3, 5)
+    np.testing.assert_array_equal(m[0], [1, 0, 1, 0, 1])
+    np.testing.assert_array_equal(m[0], m[2])
