@@ -84,9 +84,13 @@ def propose(
         )
         out = ProposeOut(xf, vf, px, ljf)
     else:
-        forward_mask = jax.random.bernoulli(k_dir, 0.5, (x.shape[0],)).astype(
-            x.dtype
-        )
+        # uniform-in-state-dtype rather than bernoulli: bernoulli consumes
+        # bits at the *default* float width, so its stream silently changes
+        # when x64 is enabled — this keeps direction draws a pure function
+        # of (key, state dtype)
+        forward_mask = (
+            jax.random.uniform(k_dir, (x.shape[0],), x.dtype) < 0.5
+        ).astype(x.dtype)
         xf, vf, ljf = dynamics.forward(
             params, x, v, aux=aux, temperature=temperature, remat=remat
         )

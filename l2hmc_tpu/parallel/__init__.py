@@ -1,5 +1,12 @@
 """Chain-sharding SPMD over a TPU mesh (rebuild-only component, SURVEY.md §2)."""
 
+from l2hmc_tpu.parallel.distributed import (
+    global_chain_mesh,
+    global_chain_sharding,
+    init_distributed,
+    local_chain_slice,
+    shard_global_chains,
+)
 from l2hmc_tpu.parallel.mesh import (
     CHAIN_AXIS,
     chain_mesh,
@@ -22,4 +29,9 @@ __all__ = [
     "shard_chains",
     "shard_train_state",
     "sharded_jit",
+    "global_chain_mesh",
+    "global_chain_sharding",
+    "init_distributed",
+    "local_chain_slice",
+    "shard_global_chains",
 ]
