@@ -51,15 +51,15 @@ def leapfrog_throughput(n_chains: int = 8192, T: int = 10, iters: int = 50):
     jax.block_until_ready(chain(x, jax.random.key(3)))
     xla = iters * 2 * T * n_chains / (time.perf_counter() - t0)
 
+    # one kernel launch for the whole measurement — per-call host dispatch
+    # latency (notably over remote-TPU tunnels) otherwise dominates
     sampler = fused_chain_sampler(dynamics, target, tile=2048)
-    jax.block_until_ready(sampler.run(params, x, seed=0, n_mh_steps=iters)[0])
-    reps = 10
+    k_steps = 10 * iters
+    jax.block_until_ready(sampler.run(params, x, seed=0, n_mh_steps=k_steps)[0])
     t0 = time.perf_counter()
-    xr = x
-    for rep in range(reps):  # chained: each call consumes the previous state
-        xr, _ = sampler.run(params, xr, seed=rep + 1, n_mh_steps=iters)
+    xr, _ = sampler.run(params, x, seed=1, n_mh_steps=k_steps)
     jax.block_until_ready(xr)
-    fused = reps * iters * 2 * T * n_chains / (time.perf_counter() - t0)
+    fused = k_steps * 2 * T * n_chains / (time.perf_counter() - t0)
     return xla, fused
 
 
