@@ -11,7 +11,6 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import time
 from typing import Callable
@@ -22,12 +21,11 @@ import numpy as np
 from l2hmc_tpu import targets as targets_lib
 from l2hmc_tpu.train import (
     ScgConfig,
+    build_dynamics,
     evaluate_ess,
     hmc_sample_chain,
-    run_experiment,
     sample_chain,
     train,
-    build_dynamics,
 )
 
 

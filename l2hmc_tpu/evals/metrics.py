@@ -85,9 +85,7 @@ def normal_kl(q_means, q_stddevs, p_means, p_stddevs) -> Array:
 def gaussian_log_likelihood(x: np.ndarray, target) -> float:
     """Mean log-density of samples under a Gaussian target
     (reference get_log_likelihood, utils/func_utils.py:59-61)."""
-    import jax.numpy as _jnp
-
-    return float(jnp.mean(target.log_density(_jnp.asarray(x))))
+    return float(jnp.mean(target.log_density(jnp.asarray(x))))
 
 
 def numerical_jacobian(fn, x: Array) -> Array:
