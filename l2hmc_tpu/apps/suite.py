@@ -52,7 +52,8 @@ _TARGET_OVERRIDES: dict[str, dict] = {
     "icg": {"hidden": 50, "eps": 0.1, "hmc_eps": 0.15},
     "rough_well": {"eps": 0.02, "hmc_eps": 0.02},
     "ring": {"init_temperature": 5.0, "hmc_eps": 0.25, "eps": 0.2},
-    "mog2": {"init_temperature": 10.0, "hmc_eps": 0.25, "eps": 0.25},
+    "mog2": {"init_temperature": 25.0, "hmc_eps": 0.25, "eps": 0.3,
+             "hidden": 20, "n_steps": 8000},
     "funnel": {"eps": 0.05, "hmc_eps": 0.05, "hidden": 20, "grad_clip": 5.0},
 }
 
@@ -84,6 +85,7 @@ def run_target(
         eps = ov.get("eps", eps)
         hmc_eps = ov.get("hmc_eps", hmc_eps)
         init_temperature = ov.get("init_temperature", init_temperature)
+        n_steps = ov.get("n_steps", n_steps)
         grad_clip = ov.get("grad_clip", 0.0)
     else:
         grad_clip = 0.0
