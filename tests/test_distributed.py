@@ -57,7 +57,12 @@ print("WORKER_OK", pid)
 
 @pytest.mark.slow
 def test_two_process_mesh_matches_single(tmp_path):
-    port = "12765"
+    # pick a free port so parallel test runs don't collide
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = str(s.getsockname()[1])
     env = {
         **os.environ,
         "PYTHONPATH": "",  # drop any TPU sitecustomize shim
