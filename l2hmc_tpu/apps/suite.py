@@ -49,7 +49,7 @@ def _target_registry() -> dict[str, Callable]:
 # - funnel: the neck needs a small step size to keep acceptance alive.
 _TARGET_OVERRIDES: dict[str, dict] = {
     "scg": {},
-    "icg": {"hidden": 50, "eps": 0.1, "hmc_eps": 0.15},
+    "icg": {"hidden": 50, "eps": 0.1, "hmc_eps": 0.15, "init_temperature": 5.0},
     "rough_well": {"eps": 0.02, "hmc_eps": 0.02},
     "ring": {"init_temperature": 5.0, "hmc_eps": 0.25, "eps": 0.2},
     "mog2": {"init_temperature": 25.0, "hmc_eps": 0.25, "eps": 0.3,
