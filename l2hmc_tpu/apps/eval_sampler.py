@@ -133,8 +133,12 @@ def run(
 
     curves = {"trained": autocov_curve(post, mu, cfg.max_autocov_lag)}
     hmc_curves = {}
-    for eps in cfg.hmc_eps_grid:
-        h = run_hmc_chain(model, params, aux, z0, float(eps), cfg, k_hmc)
+    for i, eps in enumerate(cfg.hmc_eps_grid):
+        # independent randomness per grid point (both the HMC eps init and
+        # the chain's momentum/accept draws) — reusing one key across the
+        # grid would correlate all six baselines
+        k_eps = jax.random.fold_in(k_hmc, i)
+        h = run_hmc_chain(model, params, aux, z0, float(eps), cfg, k_eps)
         hmc_curves[float(eps)] = autocov_curve(
             h[cfg.burn_in :], mu, cfg.max_autocov_lag
         )

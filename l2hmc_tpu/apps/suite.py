@@ -58,37 +58,64 @@ _TARGET_OVERRIDES: dict[str, dict] = {
 }
 
 
+_GLOBAL_DEFAULTS: dict = {
+    "n_chains": 512,
+    "n_steps": 5000,
+    "leapfrogs": 10,
+    "eval_steps": 2000,
+    "hmc_eps": 0.15,
+    "hidden": 10,
+    "eps": 0.1,
+    "init_temperature": 1.0,
+    "grad_clip": 0.0,
+}
+
+
+def effective_config(
+    name: str, *, apply_overrides: bool = True, **hparams
+) -> dict:
+    """Resolve per-target hyperparameters.
+
+    Precedence (lowest to highest): global defaults -> per-target
+    ``_TARGET_OVERRIDES`` (skipped when ``apply_overrides=False``) ->
+    explicitly-passed keyword arguments (``None`` means "not given"). A
+    caller-provided value always wins over the override table.
+    """
+    unknown = set(hparams) - set(_GLOBAL_DEFAULTS)
+    if unknown:
+        raise TypeError(f"unknown hyperparameters: {sorted(unknown)}")
+    ov = _TARGET_OVERRIDES.get(name, {}) if apply_overrides else {}
+    return {
+        **_GLOBAL_DEFAULTS,
+        **ov,
+        **{k: v for k, v in hparams.items() if v is not None},
+    }
+
+
 def run_target(
     name: str,
     *,
-    n_chains: int = 512,
-    n_steps: int = 5000,
-    leapfrogs: int = 10,
-    eval_steps: int = 2000,
-    hmc_eps: float = 0.15,
-    hidden: int = 10,
-    eps: float = 0.1,
-    init_temperature: float = 1.0,
     seed: int = 42,
     apply_overrides: bool = True,
+    verbose: bool = True,
+    **hparams,
 ) -> dict:
     """Train L2HMC on one suite target and compare ESS against plain HMC.
 
     Uses the covariance-trace normalization of the SCG protocol where the
     target has a known covariance; otherwise normalizes by the empirical
-    second moment of exact samples. Per-target hyperparameters come from
-    ``_TARGET_OVERRIDES`` unless ``apply_overrides=False``.
+    second moment of exact samples. Hyperparameters resolve via
+    ``effective_config`` and the result is printed so overridden defaults
+    stay visible.
     """
-    if apply_overrides:
-        ov = _TARGET_OVERRIDES.get(name, {})
-        hidden = ov.get("hidden", hidden)
-        eps = ov.get("eps", eps)
-        hmc_eps = ov.get("hmc_eps", hmc_eps)
-        init_temperature = ov.get("init_temperature", init_temperature)
-        n_steps = ov.get("n_steps", n_steps)
-        grad_clip = ov.get("grad_clip", 0.0)
-    else:
-        grad_clip = 0.0
+    eff = effective_config(name, apply_overrides=apply_overrides, **hparams)
+    if verbose:
+        print(f"[suite:{name}] effective config: "
+              + " ".join(f"{k}={eff[k]}" for k in sorted(eff)))
+    n_chains, n_steps = eff["n_chains"], eff["n_steps"]
+    leapfrogs, eval_steps = eff["leapfrogs"], eff["eval_steps"]
+    hmc_eps, hidden, eps = eff["hmc_eps"], eff["hidden"], eff["eps"]
+    init_temperature, grad_clip = eff["init_temperature"], eff["grad_clip"]
 
     target = _target_registry()[name]()
     dim = target.dim
@@ -152,10 +179,12 @@ def main(argv=None):
         default=["scg", "icg", "rough_well", "ring"],
         choices=sorted(_target_registry()),
     )
-    p.add_argument("--n_chains", type=int, default=512)
-    p.add_argument("--n_steps", type=int, default=5000)
-    p.add_argument("--leapfrogs", type=int, default=10)
-    p.add_argument("--eval_steps", type=int, default=2000)
+    # default=None so only flags the user actually typed override the
+    # per-target tuning table (run_target resolves None -> override/default)
+    p.add_argument("--n_chains", type=int, default=None)
+    p.add_argument("--n_steps", type=int, default=None)
+    p.add_argument("--leapfrogs", type=int, default=None)
+    p.add_argument("--eval_steps", type=int, default=None)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--out", type=str, default=None)
     args = p.parse_args(argv)

@@ -312,28 +312,28 @@ def make_train_step(model: VaeModel, batch_per_epoch: int):
                     do_mh_step=True,
                 )
                 final_x, px, mh_x = out.x_prop, out.p_accept, out.x_next
-                # reference zeroes the energy loss on this path
-                # (mnist_vae.py:198)
-                e_diff_active = False
             else:
                 out = mcmc.propose(
                     k_t, dyn, smp, init_x, aux=aux, do_mh_step=True
                 )
                 final_x, px, mh_x = out.x_prop, out.p_accept, out.x_next
-                e_diff_active = True
 
             # sigma_q-scaled distance (mnist_vae.py:209-210)
             v = jnp.square(final_x - init_x) / (sigma2 + 1e-4)
             v = jnp.sum(v, axis=1) * px + 1e-4
             inverse_term += (1.0 / cfg.mh_steps) * jnp.mean(1.0 / v)
             other_term -= (1.0 / cfg.mh_steps) * jnp.mean(v)
-            if e_diff_active:
-                e_fx = dyn.energy(final_x, aux=aux)
-                e_ix = dyn.energy(init_x, aux=aux)
-                e_diff = jnp.square(e_fx - e_ix) * px + 1e-4
-                energy_loss += (1.0 / cfg.mh_steps) * (
-                    jnp.mean(1.0 / e_diff) - jnp.mean(e_diff)
-                )
+            # the energy-diff term runs on BOTH branches: the reference's
+            # `energy_loss = 0.` inside the chain_operator branch
+            # (mnist_vae.py:196) is immediately overwritten by the
+            # unconditional re-accumulation after the branch
+            # (mnist_vae.py:212-217)
+            e_fx = dyn.energy(final_x, aux=aux)
+            e_ix = dyn.energy(init_x, aux=aux)
+            e_diff = jnp.square(e_fx - e_ix) * px + 1e-4
+            energy_loss += (1.0 / cfg.mh_steps) * (
+                jnp.mean(1.0 / e_diff) - jnp.mean(e_diff)
+            )
             px_last = px
             init_x = mh_x  # (mnist_vae.py:220)
 
@@ -350,20 +350,33 @@ def make_train_step(model: VaeModel, batch_per_epoch: int):
         return latent_T, sampler_loss, metrics
 
     def losses(params, batch, key):
+        """Shared forward: one pass produces all three objectives.
+
+        The reference's per-group var_lists (mnist_vae.py:243-265: encoder
+        <- elbo, sampler <- sampler_loss, decoder <- likelihood) are
+        enforced with stop-gradients on the *other* groups' parameters, so
+        a SINGLE backward pass over the combined scalar yields exactly the
+        reference's three per-group gradients — the expensive MH refinement
+        loop is traced and differentiated once, not three times.
+        """
+        sg = lambda t: jax.tree_util.tree_map(jax.lax.stop_gradient, t)
         k_noise, k_smp = jax.random.split(key)
         mu, log_sigma = model.encoder.apply(params["enc"], batch)
         noise = jax.random.normal(k_noise, mu.shape, mu.dtype)
         latent_q = mu + noise * jnp.exp(log_sigma)
 
-        # encoder objective: ELBO (mnist_vae.py:235-237)
-        logits = model.decoder.apply(params["dec"], latent_q)
+        # encoder objective: ELBO (mnist_vae.py:235-237); decoder blocked
+        # (the reference's encoder train op only takes encoder vars)
+        logits = model.decoder.apply(sg(params["dec"]), latent_q)
         kl = normal_kl(mu, jnp.exp(log_sigma), 0.0, 1.0)
         elbo = jnp.mean(kl + _bce_logits(logits, batch))
 
-        # sampler objective (mnist_vae.py:185-224)
+        # sampler objective (mnist_vae.py:185-224); decoder blocked via sg,
+        # encoder blocked inside sampler_refine (stop_gradient on latent_q
+        # and sigma_q, as in the reference)
         latent_T, sampler_loss, smp_metrics = sampler_refine(
-            params["smp"], params["dec"], batch, mu, log_sigma, latent_q,
-            k_smp,
+            params["smp"], sg(params["dec"]), batch, mu, log_sigma,
+            latent_q, k_smp,
         )
 
         # decoder objective: -log p(x, z) at latent_T (mnist_vae.py:227-233)
@@ -380,26 +393,14 @@ def make_train_step(model: VaeModel, batch_per_epoch: int):
         key, k_step = jax.random.split(state.key)
         params = state.params
 
-        def enc_loss(enc_p):
-            p = {**params, "enc": enc_p}
-            elbo, *_ = losses(p, batch, k_step)
-            return elbo
+        def total_loss(p):
+            elbo, sl, lik, m, _ = losses(p, batch, k_step)
+            return elbo + sl + lik, (elbo, sl, lik, m)
 
-        def smp_loss(smp_p):
-            p = {**params, "smp": smp_p}
-            _, sl, _, m, _ = losses(p, batch, k_step)
-            return sl, m
-
-        def dec_loss(dec_p):
-            p = {**params, "dec": dec_p}
-            _, _, lik, _, _ = losses(p, batch, k_step)
-            return lik
-
-        elbo, g_enc = jax.value_and_grad(enc_loss)(params["enc"])
-        (sampler_loss, smp_metrics), g_smp = jax.value_and_grad(
-            smp_loss, has_aux=True
-        )(params["smp"])
-        likelihood, g_dec = jax.value_and_grad(dec_loss)(params["dec"])
+        (_, (elbo, sampler_loss, likelihood, smp_metrics)), grads = (
+            jax.value_and_grad(total_loss, has_aux=True)(params)
+        )
+        g_enc, g_dec, g_smp = grads["enc"], grads["dec"], grads["smp"]
 
         u_enc, o_enc = opt_enc.update(g_enc, state.opt_enc, params["enc"])
         u_dec, o_dec = opt_dec.update(g_dec, state.opt_dec, params["dec"])

@@ -127,6 +127,7 @@ def chain_operator(
     temperature: float | Array = 1.0,
     do_mh_step: bool = False,
     remat: bool = False,
+    faithful_momentum: bool = False,
 ) -> ProposeOut:
     """Compose ``nb_steps`` proposals with shared momentum and a single
     terminal accept (reference chain_operator, utils/sampler.py:57-85).
@@ -135,6 +136,18 @@ def chain_operator(
     ``max_steps`` bound and predicate each step on ``i < nb_steps`` — static
     shapes, reverse-mode differentiable (the VAE app trains through this when
     ``random_lf_composition > 0``, mnist_vae.py:193-198).
+
+    Momentum semantics (documented divergence — PARITY.md "chain_operator
+    momentum"): the default (corrected) reading threads ONE momentum through
+    all composed ops — each propose integrates the momentum the previous op
+    produced, so the terminal ``p_accept`` compares Hamiltonians of the
+    actual composite trajectory. The reference *looks* like it does this
+    (utils/sampler.py:63 passes ``init_v=v`` into propose) but its non-HMC
+    propose never forwards ``init_v`` into dynamics.forward/backward
+    (utils/sampler.py:34-36) — each op draws fresh momentum internally, and
+    the terminal p_accept (utils/sampler.py:79) mixes the never-integrated
+    initial draw with the last op's output momentum. Set
+    ``faithful_momentum=True`` to reproduce that reading exactly.
     """
     k_v, k_scan, k_mh = jax.random.split(key, 3)
     v0 = jax.random.normal(k_v, x.shape, x.dtype) if init_v is None else init_v
@@ -144,8 +157,11 @@ def chain_operator(
         cx, cv, lj = carry
         i, k = inp
         out = propose(
-            k, dynamics, params, cx, init_v=cv, aux=aux,
-            temperature=temperature, remat=remat,
+            k, dynamics, params, cx,
+            # faithful: fresh internal momentum per op, as the reference
+            # actually executes; corrected: thread the carried momentum
+            init_v=None if faithful_momentum else cv,
+            aux=aux, temperature=temperature, remat=remat,
         )
         take = i < nb
         nx = jnp.where(take, out.x_prop, cx)

@@ -266,10 +266,16 @@ def hmc_sample_chain(
 
 
 def evaluate_ess(
-    trace: Array, cov: np.ndarray, max_lag: int = 300
+    trace: Array, cov: np.ndarray, max_lag: int | None = None
 ) -> float:
     """ESS from a (T, N, D) trace with the notebook's normalization
-    (cell 17: scale = sqrt(trace(cov)))."""
+    (cell 17: scale = sqrt(trace(cov))).
+
+    Default is the full n-1 lag spectrum, matching the reference notebook's
+    ESS protocol (cell 21 sums all 1999 lags via acl_spectrum,
+    utils/func_utils.py:114-120). Truncating inflates ESS for slowly-mixing
+    baselines whose rho stays above threshold past the cutoff; pass max_lag
+    explicitly only for quick smoke evals."""
     scale = float(np.sqrt(np.trace(cov)))
     spectrum = acl_spectrum(trace, scale=scale, max_lag=max_lag)
     return float(ess(spectrum))

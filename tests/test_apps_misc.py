@@ -67,3 +67,16 @@ def test_get_hmc_samples():
     trace = get_hmc_samples(2, 0.15, g.energy, steps=10, T=3)
     assert trace.shape == (10, 200, 2)
     assert np.isfinite(trace).all()
+
+
+def test_suite_effective_config_precedence():
+    """Overrides are defaults only — explicit values win (ADVICE r1)."""
+    assert suite.effective_config("mog2")["n_steps"] == 8000
+    assert suite.effective_config("mog2", n_steps=123)["n_steps"] == 123
+    assert suite.effective_config("mog2", n_steps=None)["n_steps"] == 8000
+    assert (
+        suite.effective_config("mog2", apply_overrides=False)["n_steps"]
+        == 5000
+    )
+    with pytest.raises(TypeError, match="unknown"):
+        suite.effective_config("scg", bogus=1)

@@ -172,3 +172,24 @@ def test_scg_joint_loss_gradient_flows(key):
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     total = sum(float(jnp.sum(jnp.abs(l))) for l in leaves)
     assert total > 0.0
+
+
+def test_chain_operator_faithful_momentum(key):
+    """Both momentum readings (PARITY.md "chain_operator momentum") produce
+    valid MH kernels, and they genuinely differ: the faithful reading draws
+    fresh internal momentum per composed op (reference utils/sampler.py:34-36
+    never forwards init_v), the corrected default threads one momentum."""
+    dyn, target = _dyn(T=3)
+    params = dyn.init_params(key, eps=0.1)
+    x = target.sample(jax.random.key(7), 64)
+    kw = dict(nb_steps=2, max_steps=3, do_mh_step=True)
+    out_c = mcmc.chain_operator(jax.random.key(8), dyn, params, x, **kw)
+    out_f = mcmc.chain_operator(
+        jax.random.key(8), dyn, params, x, faithful_momentum=True, **kw
+    )
+    for out in (out_c, out_f):
+        p = np.asarray(out.p_accept)
+        assert np.isfinite(np.asarray(out.x_prop)).all()
+        assert (p >= 0).all() and (p <= 1).all()
+    # the two readings integrate different momenta -> different proposals
+    assert not np.allclose(np.asarray(out_c.x_prop), np.asarray(out_f.x_prop))

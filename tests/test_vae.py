@@ -144,3 +144,25 @@ def test_eval_sampler(trained, tiny_data):
     assert curves["trained"].shape == (10,)
     assert np.isfinite(curves["trained"]).all()
     assert np.isfinite(curves["hmc"][0.1]).all()
+
+
+def test_eval_sampler_grid_keys_independent(trained, tiny_data, monkeypatch):
+    """Regression: every HMC grid point must get its own PRNG key (the
+    round-1 bug reused one key across the eps grid, correlating all
+    baselines)."""
+    model, state, _ = trained
+    seen = []
+    orig = eval_sampler.run_hmc_chain
+
+    def spy(model, params, aux, z0, eps, cfg, key):
+        seen.append(np.asarray(jax.random.key_data(key)).copy())
+        return orig(model, params, aux, z0, eps, cfg, key)
+
+    monkeypatch.setattr(eval_sampler, "run_hmc_chain", spy)
+    cfg = eval_sampler.EvalSamplerConfig(
+        leapfrogs=2, latent_dim=4, n_chains=4, n_steps=8, burn_in=2,
+        datapoint_index=1, hmc_eps_grid=(0.1, 0.15), max_autocov_lag=4,
+    )
+    eval_sampler.run(model, state.params, cfg, tiny_data)
+    assert len(seen) == 2
+    assert not np.array_equal(seen[0], seen[1])
