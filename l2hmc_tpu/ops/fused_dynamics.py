@@ -330,13 +330,29 @@ def _random_normal(shape):
     return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * jnp.pi * u2)
 
 
+def _trace_chunk(n_mh_steps: int, max_chunk: int = 128) -> int:
+    """Largest divisor of n_mh_steps that is <= max_chunk (ring size)."""
+    for c in range(min(max_chunk, n_mh_steps), 0, -1):
+        if n_mh_steps % c == 0:
+            return c
+    return 1
+
+
 @functools.lru_cache(maxsize=None)
-def _make_chain_kernel(T: int, n_mh_steps: int):
+def _make_chain_kernel(T: int, n_mh_steps: int, collect_trace: bool, tile: int):
     """K Metropolis-Hastings steps of the full direction-randomized L2HMC
     sampler in ONE kernel launch: momentum/direction/accept randomness from
     the in-kernel PRNG, both trajectory directions, Hamiltonians, accept —
     all VMEM-resident. The MH loop is a fori_loop (program size stays one
     step); the T-step trajectory inside is unrolled (static mask indices).
+
+    With ``collect_trace`` the post-MH state of every step is staged into a
+    (chunk, D, tile) VMEM ring and DMA'd to a (K, D, N) HBM trace buffer
+    once per ``chunk`` steps, so a full ESS evaluation (reference protocol:
+    200 chains x 2000 steps, SURVEY.md §6) runs as ONE launch instead of K
+    dispatches of the XLA path. Chunking matters: a measured per-step
+    start+wait DMA cost ~9.6 ms/step on v5e (vs 0.4 ms of trajectory
+    compute); amortizing over a ~128-step chunk makes tracing ~free.
 
     Mirrors mcmc.propose + metropolis (utils/sampler.py:28-55) with its own
     RNG streams (per-tile seeds; not bitwise-matched to the XLA path — the
@@ -347,7 +363,13 @@ def _make_chain_kernel(T: int, n_mh_steps: int):
         xnet_w = [r[:] for r in refs[:_NET_ARRAYS]]
         vnet_w = [r[:] for r in refs[_NET_ARRAYS : 2 * _NET_ARRAYS]]
         x_ref = refs[2 * _NET_ARRAYS]
-        xo_ref, acc_ref = refs[-2], refs[-1]
+        if collect_trace:
+            xo_ref, acc_ref, trace_ref = refs[-5], refs[-4], refs[-3]
+            scratch_ref, dma_sem = refs[-2], refs[-1]
+            col0 = pl.program_id(0) * tile
+            chunk = _trace_chunk(n_mh_steps)
+        else:
+            xo_ref, acc_ref = refs[-2], refs[-1]
 
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
 
@@ -393,10 +415,35 @@ def _make_chain_kernel(T: int, n_mh_steps: int):
             x_new = acc * xp + (1.0 - acc) * x
             return x_new, acc_count + acc
 
+        def mh_step_traced(step, carry):
+            x_new, acc_count = mh_step(step, carry)
+            slot = step % chunk
+            scratch_ref[slot] = x_new
+            # flush the full ring once per chunk (blocking wait: one DMA per
+            # `chunk` steps is noise next to chunk * trajectory compute)
+            @pl.when(slot == chunk - 1)
+            def _():
+                dma = pltpu.make_async_copy(
+                    scratch_ref,
+                    trace_ref.at[
+                        pl.ds(step - (chunk - 1), chunk),
+                        slice(None),
+                        pl.ds(col0, tile),
+                    ],
+                    dma_sem,
+                )
+                dma.start()
+                dma.wait()
+
+            return x_new, acc_count
+
         x0 = x_ref[:]
         acc0 = jnp.zeros_like(x0[:1])
         x_final, acc_count = jax.lax.fori_loop(
-            0, n_mh_steps, mh_step, (x0, acc0)
+            0,
+            n_mh_steps,
+            mh_step_traced if collect_trace else mh_step,
+            (x0, acc0),
         )
         xo_ref[:] = x_final
         acc_ref[:] = acc_count * (1.0 / n_mh_steps)
@@ -424,7 +471,19 @@ class FusedChainSampler:
     def __post_init__(self):
         object.__setattr__(self, "_jit_cache", {})
 
-    def run(self, params, x: Array, seed: int, n_mh_steps: int):
+    def run(
+        self,
+        params,
+        x: Array,
+        seed: int,
+        n_mh_steps: int,
+        *,
+        collect_trace: bool = False,
+    ):
+        """Advance all chains n_mh_steps. Returns (x_final, acc) or, with
+        ``collect_trace``, (x_final, acc, trace) where trace is the
+        (n_mh_steps, n_chains, dim) post-MH state history — the input of
+        the ESS evaluation protocol (SURVEY.md §6)."""
         dyn = self.dynamics
         d = dyn.dim
         n = x.shape[0]
@@ -440,20 +499,24 @@ class FusedChainSampler:
         masks = jnp.asarray(dyn.masks.T, jnp.float32)
         seed_arr = jnp.asarray([seed], jnp.int32)
 
-        call = self._get_callable(n, tile, n_mh_steps)
-        xo, acc = call(
-            seed_arr, eps, prec, mu, masks, xnet_w, vnet_w, x.T
-        )
+        call = self._get_callable(n, tile, n_mh_steps, collect_trace)
+        out = call(seed_arr, eps, prec, mu, masks, xnet_w, vnet_w, x.T)
+        if collect_trace:
+            xo, acc, trace = out
+            return xo.T, acc[0], jnp.swapaxes(trace, 1, 2)
+        xo, acc = out
         return xo.T, acc[0]
 
-    def _get_callable(self, n: int, tile: int, n_mh_steps: int):
-        key = (n, tile, n_mh_steps)
+    def _get_callable(
+        self, n: int, tile: int, n_mh_steps: int, collect_trace: bool = False
+    ):
+        key = (n, tile, n_mh_steps, collect_trace)
         fn = self._jit_cache.get(key)
         if fn is not None:
             return fn
         dyn = self.dynamics
         d = dyn.dim
-        kernel = _make_chain_kernel(dyn.T, n_mh_steps)
+        kernel = _make_chain_kernel(dyn.T, n_mh_steps, collect_trace, tile)
         full = pl.BlockSpec(memory_space=pltpu.VMEM)
         state_spec = pl.BlockSpec(
             (d, tile), lambda i: (0, i), memory_space=pltpu.VMEM
@@ -462,6 +525,26 @@ class FusedChainSampler:
             (1, tile), lambda i: (0, i), memory_space=pltpu.VMEM
         )
         n_weights = 2 * _NET_ARRAYS
+
+        out_specs = [state_spec, acc_spec]
+        out_shape = [
+            jax.ShapeDtypeStruct((d, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+        ]
+        scratch_shapes = []
+        if collect_trace:
+            # whole trace stays in HBM; the kernel DMAs each step's state
+            # into its chain-column slice from a VMEM scratch slot
+            out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+            out_shape.append(
+                jax.ShapeDtypeStruct((n_mh_steps, d, n), jnp.float32)
+            )
+            scratch_shapes = [
+                pltpu.VMEM(
+                    (_trace_chunk(n_mh_steps), d, tile), jnp.float32
+                ),
+                pltpu.SemaphoreType.DMA(()),
+            ]
 
         @jax.jit
         def call(seed_arr, eps, prec, mu, masks, xnet_w, vnet_w, xT):
@@ -479,11 +562,9 @@ class FusedChainSampler:
                     *([full] * n_weights),
                     state_spec,  # x
                 ],
-                out_specs=(state_spec, acc_spec),
-                out_shape=(
-                    jax.ShapeDtypeStruct((d, n), jnp.float32),
-                    jax.ShapeDtypeStruct((1, n), jnp.float32),
-                ),
+                out_specs=tuple(out_specs),
+                out_shape=tuple(out_shape),
+                scratch_shapes=scratch_shapes,
                 interpret=self.interpret,
             )(seed_arr, eps, prec, mu, masks, *xnet_w, *vnet_w, xT)
 

@@ -86,3 +86,34 @@ def test_fused_chain_sampler_statistics(setup):
     moved = np.abs(np.asarray(x1) - np.asarray(x0)).max(axis=1) > 0
     assert moved.mean() > 0.5
     assert np.isfinite(np.asarray(x1)).all()
+
+
+def test_fused_chain_sampler_trace():
+    """Trace-emitting kernel: the chunked VMEM->HBM trace matches the
+    non-traced run bit-for-bit (same seed) and its last row is the final
+    state. 150 steps with a 128-cap ring -> chunk 75, two flushes."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from l2hmc_tpu.ops import fused_chain_sampler
+    from l2hmc_tpu.ops.fused_dynamics import _trace_chunk
+
+    assert _trace_chunk(2000) == 125
+    assert _trace_chunk(150) == 75
+    assert _trace_chunk(7) == 7
+
+    cfg = ScgConfig(n_chains=256, T=4)
+    dyn, target = build_dynamics(cfg)
+    params = dyn.init_params(jax.random.key(0), eps=0.1)
+    sampler = fused_chain_sampler(dyn, target, tile=128)
+    x0 = jax.random.normal(jax.random.key(1), (256, 2), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        x1, acc, trace = sampler.run(
+            params, x0, seed=7, n_mh_steps=150, collect_trace=True
+        )
+        x1b, _ = sampler.run(params, x0, seed=7, n_mh_steps=150)
+    assert trace.shape == (150, 256, 2)
+    np.testing.assert_allclose(np.asarray(trace[-1]), np.asarray(x1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(x1b), np.asarray(x1), rtol=1e-6)
+    assert np.isfinite(np.asarray(trace)).all()
+    # chains keep moving between chunk boundaries
+    assert np.abs(np.asarray(trace[10]) - np.asarray(trace[-1])).max() > 0
