@@ -1,39 +1,75 @@
 """Headline benchmark: the SCG experiment end-to-end on real hardware.
 
-Reproduces SCGExperiment.ipynb's full protocol (train 5000 steps @ 200
-chains, eval 2000 MH steps, ESS vs plain HMC at eps=0.15) and prints ONE
-JSON line. Baseline: the reference's stored notebook output — ESS ratio 46x
-(BASELINE.md), trained on 2017-era hardware with per-step host round-trips.
+Reproduces SCGExperiment.ipynb's full protocol (train 5000 steps, eval 2000
+MH steps, ESS vs plain HMC at eps=0.15) and prints ONE JSON line. Baseline:
+the reference's stored notebook output — ESS ratio 46x (BASELINE.md),
+trained on 2017-era hardware with per-step host round-trips.
 
-Also measures raw leapfrog throughput at 8192 chains (the BASELINE.json
-scale target) into the "extra" field.
+Round-2 additions (VERDICT.md):
+  - the L2HMC eval chain runs through the trace-emitting fused Pallas
+    sampler (ONE kernel launch for all 2000 MH steps) with an ESS-parity
+    check against the XLA-keyed eval path;
+  - an on-TPU compiled-parity gate: the fused trajectory must match the XLA
+    trajectory to float tolerance before any fused number is reported;
+  - the BASELINE.md north-star composite — effective samples / sec / chip —
+    for L2HMC vs HMC;
+  - a jax.profiler trace artifact around one training chunk
+    (bench_artifacts/xprof) so kernel work is profile-guided.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from l2hmc_tpu import mcmc
-from l2hmc_tpu.train import ScgConfig, build_dynamics, run_experiment
+from l2hmc_tpu.dynamics import Dynamics
+from l2hmc_tpu.ops import fused_chain_sampler, fused_for_target
+from l2hmc_tpu.train import (
+    ScgConfig,
+    build_dynamics,
+    evaluate_ess,
+    hmc_sample_chain,
+    sample_chain,
+    train,
+)
+from l2hmc_tpu.utils import Throughput, trace
 
 BASELINE_ESS_RATIO = 46.0  # SCGExperiment.ipynb cell 21 stored output
+N_CHIPS = len(jax.devices())
 
 
-def leapfrog_throughput(n_chains: int = 8192, T: int = 10, iters: int = 50):
-    """Leapfrog steps/sec of the full L2HMC proposal at scale: the XLA
-    scan-of-propose path vs the fused whole-chain Pallas kernel
-    (ops/fused_dynamics.py). Returns (xla, fused) in chain-leapfrog
-    steps/sec; each proposal runs forward AND backward trajectories, so one
-    MH step = 2*T leapfrogs per chain."""
-    from l2hmc_tpu.ops import fused_chain_sampler
+def compiled_parity_gate(dynamics, target, params, n=2048, tol=5e-4) -> float:
+    """Assert the compiled fused trajectory matches XLA on this hardware
+    (VERDICT.md round-1 gap: interpret-mode tests never touched the Mosaic
+    path). Returns the max abs error for the report."""
+    fused = fused_for_target(dynamics, target, tile=min(2048, n))
+    x = target.sample(jax.random.key(11), n)
+    v = jax.random.normal(jax.random.key(12), x.shape, jnp.float32)
+    Xr, Vr, ldr = dynamics.forward(params, x, v)
+    Xf, Vf, ldf = fused.forward(params, x, v)
+    err = max(
+        float(jnp.max(jnp.abs(Xf - Xr))),
+        float(jnp.max(jnp.abs(Vf - Vr))),
+        float(jnp.max(jnp.abs(ldf - ldr))),
+    )
+    assert err < tol, f"fused kernel diverges from XLA on TPU: {err}"
+    return err
 
-    cfg = ScgConfig(n_chains=n_chains, T=T)
-    dynamics, target = build_dynamics(cfg)
-    params = dynamics.init_params(jax.random.key(0), eps=cfg.eps)
+
+def leapfrog_throughput(
+    dynamics, target, params, n_chains: int = 8192, iters: int = 50
+):
+    """Chain-leapfrog steps/sec of the full L2HMC proposal at scale: XLA
+    scan-of-propose vs the fused whole-chain kernel. One launch per
+    measurement (per-call dispatch over remote-TPU tunnels otherwise
+    dominates). Returns (xla, fused, fused_mh_steps_per_sec)."""
+    T = dynamics.T
     x = target.sample(jax.random.key(1), n_chains)
 
     @jax.jit
@@ -47,20 +83,38 @@ def leapfrog_throughput(n_chains: int = 8192, T: int = 10, iters: int = 50):
         return x
 
     jax.block_until_ready(chain(x, jax.random.key(2)))  # compile
-    t0 = time.perf_counter()
-    jax.block_until_ready(chain(x, jax.random.key(3)))
-    xla = iters * 2 * T * n_chains / (time.perf_counter() - t0)
+    tp = Throughput(n_chains=n_chains, leapfrogs_per_step=2 * T)
+    tp.tick(iters, block_on=chain(x, jax.random.key(3)))
+    xla = tp.leapfrogs_per_sec
 
-    # one kernel launch for the whole measurement — per-call host dispatch
-    # latency (notably over remote-TPU tunnels) otherwise dominates
     sampler = fused_chain_sampler(dynamics, target, tile=2048)
     k_steps = 10 * iters
     jax.block_until_ready(sampler.run(params, x, seed=0, n_mh_steps=k_steps)[0])
+    tp = Throughput(n_chains=n_chains, leapfrogs_per_step=2 * T)
+    tp.tick(k_steps, block_on=sampler.run(params, x, seed=1, n_mh_steps=k_steps)[0])
+    return xla, tp.leapfrogs_per_sec, tp.steps_per_sec
+
+
+def hmc_throughput(target, eps: float, T: int, n_chains: int = 8192, iters: int = 100):
+    """Plain-HMC MH steps/sec at scale (XLA; forward-only fast path)."""
+    dyn = Dynamics(dim=target.dim, energy=target.energy, T=T, hmc=True)
+    params = dyn.init_params(jax.random.key(0), eps=eps)
+    x = target.sample(jax.random.key(1), n_chains)
+
+    @jax.jit
+    def chain(x, key):
+        def step(x, k):
+            out = mcmc.propose(k, dyn, params, x, do_mh_step=True)
+            return out.x_next, None
+
+        keys = jax.random.split(key, iters)
+        x, _ = jax.lax.scan(step, x, keys)
+        return x
+
+    jax.block_until_ready(chain(x, jax.random.key(2)))
     t0 = time.perf_counter()
-    xr, _ = sampler.run(params, x, seed=1, n_mh_steps=k_steps)
-    jax.block_until_ready(xr)
-    fused = k_steps * 2 * T * n_chains / (time.perf_counter() - t0)
-    return xla, fused
+    jax.block_until_ready(chain(x, jax.random.key(3)))
+    return iters / (time.perf_counter() - t0)
 
 
 def main():
@@ -69,25 +123,101 @@ def main():
     # axis, the larger batch stabilizes the ESJD gradient, and training still
     # takes ~20 s on one v5e chip (reference: minutes on 2017 hardware).
     # Measured across seeds {0,1,2}: ESS ratio 45.8-48.0 (reference: 46).
-    metrics = run_experiment(
-        ScgConfig(n_chains=1024, seed=1), eval_steps=2000, hmc_eps=0.15
+    cfg = ScgConfig(n_chains=1024, seed=1)
+    eval_steps, hmc_eps = 2000, 0.15
+    dynamics, target = build_dynamics(cfg)
+
+    # profile one training chunk into an xprof-readable artifact; the full
+    # run follows untraced (tracing every step costs wall-clock)
+    profile_dir = os.path.join(os.path.dirname(__file__), "bench_artifacts", "xprof")
+    try:
+        with trace(profile_dir):
+            train(ScgConfig(n_chains=1024, seed=1, n_steps=50))
+        profiled = True
+    except Exception as e:  # profiling must never sink the benchmark
+        print(f"# profiler trace skipped: {e}")
+        profiled = False
+
+    t0 = time.perf_counter()
+    state, history = train(cfg)
+    jax.block_until_ready(state.params)
+    train_time = time.perf_counter() - t0
+
+    # compiled-parity gate before any fused number is trusted
+    parity_err = compiled_parity_gate(dynamics, target, state.params)
+
+    x0 = target.sample(jax.random.key(cfg.seed + 1), cfg.n_chains)
+
+    # L2HMC eval: ONE fused kernel launch emits the full (2000, N, D) trace
+    sampler = fused_chain_sampler(dynamics, target, tile=min(2048, cfg.n_chains))
+    jax.block_until_ready(
+        sampler.run(state.params, x0, seed=cfg.seed, n_mh_steps=10,
+                    collect_trace=True)[0]
+    )  # compile
+    t1 = time.perf_counter()
+    _, _, fused_trace = sampler.run(
+        state.params, x0, seed=cfg.seed + 2, n_mh_steps=eval_steps,
+        collect_trace=True,
     )
-    lf_xla, lf_fused = leapfrog_throughput()
-    ratio = metrics["ess_ratio"]
+    jax.block_until_ready(fused_trace)
+    eval_time = time.perf_counter() - t1
+
+    # XLA-keyed eval path: ESS parity check (different RNG stream — the
+    # estimates must agree statistically, not bitwise)
+    t2 = time.perf_counter()
+    _, xla_trace = sample_chain(
+        dynamics, state.params, x0, eval_steps, jax.random.key(cfg.seed + 2)
+    )
+    jax.block_until_ready(xla_trace)
+    eval_time_xla = time.perf_counter() - t2
+
+    ess_l2hmc = evaluate_ess(fused_trace, target.sigma)
+    ess_l2hmc_xla = evaluate_ess(xla_trace, target.sigma)
+    rel = abs(ess_l2hmc - ess_l2hmc_xla) / max(ess_l2hmc_xla, 1e-12)
+    assert rel < 0.30, (
+        f"fused-trace ESS {ess_l2hmc} vs XLA-path ESS {ess_l2hmc_xla}: "
+        f"relative gap {rel:.2f} exceeds tolerance"
+    )
+
+    _, hmc_trace = hmc_sample_chain(
+        target, hmc_eps, cfg.T, x0, eval_steps, jax.random.key(cfg.seed + 3)
+    )
+    ess_hmc = evaluate_ess(hmc_trace, target.sigma)
+    ratio = ess_l2hmc / max(ess_hmc, 1e-12)
+
+    # throughput at the 8192-chain scale target + ESS/sec/chip composite
+    lf_xla, lf_fused, mh_sps_fused = leapfrog_throughput(
+        dynamics, target, state.params
+    )
+    hmc_sps = hmc_throughput(target, hmc_eps, cfg.T)
+    n_scale = 8192
+    ess_sec_chip_l2hmc = ess_l2hmc * mh_sps_fused * n_scale / N_CHIPS
+    ess_sec_chip_hmc = ess_hmc * hmc_sps * n_scale / N_CHIPS
+
     result = {
         "metric": "scg_ess_ratio",
         "value": round(ratio, 3),
         "unit": "x (L2HMC ESS / HMC ESS per MH step, SCG 2-D)",
         "vs_baseline": round(ratio / BASELINE_ESS_RATIO, 4),
         "extra": {
-            "ess_l2hmc": round(metrics["ess_l2hmc"], 6),
-            "ess_hmc": round(metrics["ess_hmc"], 6),
-            "final_accept": round(metrics["final_accept"], 4),
-            "final_loss": round(metrics["final_loss"], 1),
-            "train_time_s": round(metrics["train_time_s"], 2),
-            "eval_time_s": round(metrics["eval_time_s"], 2),
+            "ess_l2hmc": round(ess_l2hmc, 6),
+            "ess_l2hmc_xla_path": round(ess_l2hmc_xla, 6),
+            "ess_hmc": round(ess_hmc, 6),
+            "final_accept": round(float(history["p_accept"][-100:].mean()), 4),
+            "final_loss": round(float(history["loss"][-1]), 1),
+            "train_time_s": round(train_time, 2),
+            "eval_time_s": round(eval_time, 2),
+            "eval_time_s_xla_path": round(eval_time_xla, 2),
+            "fused_vs_xla_max_err": parity_err,
             "leapfrog_steps_per_sec_8192chains_xla": round(lf_xla),
             "leapfrog_steps_per_sec_8192chains_fused": round(lf_fused),
+            "ess_per_sec_per_chip_l2hmc": round(ess_sec_chip_l2hmc),
+            "ess_per_sec_per_chip_hmc": round(ess_sec_chip_hmc),
+            "ess_per_sec_per_chip_ratio": round(
+                ess_sec_chip_l2hmc / max(ess_sec_chip_hmc, 1e-12), 1
+            ),
+            "n_chips": N_CHIPS,
+            "profile_trace": profile_dir if profiled else None,
             "device": str(jax.devices()[0]),
         },
     }

@@ -55,6 +55,9 @@ def main(argv=None):
     p.add_argument("--anneal_steps", type=int, nargs="*",
                    default=[64, 256, 1024, 4096, 8192],
                    help="AIS schedule sweep (mnist_vae.py:338)")
+    p.add_argument("--max_eval_datapoints", type=int, default=None,
+                   help="cap datapoints per AIS split (None = full split, "
+                        "the reference protocol)")
     args = p.parse_args(argv)
 
     cfg = parse_hparams(args.hparams, vae.VaeConfig)
@@ -68,6 +71,12 @@ def main(argv=None):
     model, state, last = vae.train(cfg, dataset, logdir=logdir)
     print("final:", json.dumps({k: float(v) for k, v in last.items()}))
 
+    results = {
+        "hparams": dataclasses.asdict(cfg),
+        "synthetic_data": bool(dataset.is_synthetic),
+        "final_train_metrics": {k: float(v) for k, v in last.items()},
+        "ais_log_likelihood": {},
+    }
     if args.eval:
         for anneal in args.anneal_steps:
             for split in ("train", "test"):
@@ -79,9 +88,11 @@ def main(argv=None):
                 )
                 print(f"{split} fold evaluation. AS steps: {anneal}")
                 ll = eval_vae.run(
-                    model, state.params, ecfg, dataset, logdir=logdir
+                    model, state.params, ecfg, dataset, logdir=logdir,
+                    max_datapoints=args.max_eval_datapoints,
                 )
                 print(f"  avg log-likelihood: {ll:.2f}")
+                results["ais_log_likelihood"][f"{split}_as{anneal}"] = ll
         print("Sampler eval")
         eval_sampler.run(
             model,
@@ -92,6 +103,10 @@ def main(argv=None):
             dataset,
             plot_path=os.path.join(logdir, "sampler_eval.png"),
         )
+        results["sampler_eval_plot"] = os.path.join(logdir, "sampler_eval.png")
+    with open(os.path.join(logdir, "vae_results.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"results -> {logdir}/vae_results.json")
     return last
 
 

@@ -4,6 +4,8 @@ stage 7 — kept where they beat XLA fusion, benchmarked in bench.py)."""
 from l2hmc_tpu.ops.fused_dynamics import (
     FusedChainSampler,
     FusedGaussianDynamics,
+    FusedVaeSampler,
+    differentiable_fused,
     fused_chain_sampler,
     fused_for_target,
 )
@@ -11,6 +13,8 @@ from l2hmc_tpu.ops.fused_dynamics import (
 __all__ = [
     "FusedChainSampler",
     "FusedGaussianDynamics",
+    "FusedVaeSampler",
+    "differentiable_fused",
     "fused_chain_sampler",
     "fused_for_target",
 ]

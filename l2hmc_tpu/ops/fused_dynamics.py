@@ -17,11 +17,17 @@ the chain axis; weights use full-array VMEM blocks. The time embedding
 ``W3^T trig(t) + b_embed`` is folded outside the kernel into one (H, T)
 array per net.
 
-Scope (asserted by the wrapper): quadratic-Gaussian targets (grad E = P(x-mu)
-is a matmul — covers the SCG / tilted / ill-conditioned Gaussian benchmarks),
-the standard ``stq_net`` architecture, forward or backward direction,
-inference path (sampling/eval; training keeps the XLA autodiff path).
-Everything else falls back to ``Dynamics.forward/backward``.
+Kernels in this module:
+  - FusedGaussianDynamics — single fused trajectory (fwd or bwd) for
+    quadratic-Gaussian targets (grad E = P(x-mu) is a matmul; covers the
+    SCG / tilted / ill-conditioned Gaussian benchmarks).
+  - FusedChainSampler — K whole MH steps per launch (in-kernel PRNG),
+    optionally emitting the full chain trace to HBM for ESS evaluation.
+  - DifferentiableFusedDynamics — custom_vjp training path whose backward
+    is a fused recompute+reverse kernel (ScgConfig.fused_train).
+  - FusedVaeSampler — the VAE posterior sampler with the full decoder
+    energy/gradient in-kernel (the MXU-scale workload).
+Everything out of scope falls back to ``Dynamics.forward/backward``.
 
 Correctness oracle: tests/test_fused_dynamics.py checks this kernel against
 the XLA path to float tolerance (interpret mode on CPU, compiled on TPU).
@@ -83,13 +89,17 @@ def _extract_net(net_params: Any, trig: np.ndarray) -> list[Array]:
     ]
 
 
-def _apply_stq(w: list, a: Array, b: Array, step: int):
+def _apply_stq(w: list, a: Array, b: Array, step: int, emb=None):
     """S/T/Q net on transposed activations: a, b are (D, TILE); returns
-    three (D, TILE)."""
+    three (D, TILE). ``emb`` is the optional per-chain aux embedding
+    (H, TILE) — the VAE sampler's 4th Zip input (mnist_vae.py:134-167),
+    added to the hidden pre-activation like the reference's add_inputs."""
     w1, w2, wh, bh, ws, bs, ls, wt, bt, wq, bq, lq, te = w
     h = jnp.dot(w1.T, a, preferred_element_type=jnp.float32)
     h += jnp.dot(w2.T, b, preferred_element_type=jnp.float32)
     h += te[:, step : step + 1]
+    if emb is not None:
+        h += emb
     h = jnp.maximum(h, 0.0)
     h2 = jnp.dot(wh.T, h, preferred_element_type=jnp.float32) + bh
     h2 = jnp.maximum(h2, 0.0)
@@ -104,7 +114,8 @@ def _apply_stq(w: list, a: Array, b: Array, step: int):
 
 
 def _trajectory(
-    xnet_w, vnet_w, grad_energy, masks, eps, T: int, reverse: bool, x, v
+    xnet_w, vnet_w, grad_energy, masks, eps, T: int, reverse: bool, x, v,
+    emb=None,
 ):
     """Value-level T-step trajectory on transposed (D, TILE) state; shared by
     the single-trajectory kernel and the whole-chain sampler kernel.
@@ -112,60 +123,118 @@ def _trajectory(
     ld = jnp.zeros_like(x[:1])  # (1, TILE)
     steps = range(T - 1, -1, -1) if reverse else range(T)
     for step in steps:
-        m = masks[:, step : step + 1]  # (D, 1)
-        mb = 1.0 - m
-
-        if not reverse:
-            # forward substep (utils/dynamics.py:115-157)
-            grad1 = grad_energy(x)
-            s, t, q = _apply_stq(vnet_w, x, grad1, step)
-            sv1 = 0.5 * eps * s
-            v_h = v * jnp.exp(sv1) + 0.5 * eps * (
-                -jnp.exp(eps * q) * grad1 + t
-            )
-            s, t, q = _apply_stq(xnet_w, v_h, m * x, step)
-            sx1 = eps * s
-            y = m * x + mb * (
-                x * jnp.exp(sx1) + eps * (jnp.exp(eps * q) * v_h + t)
-            )
-            s, t, q = _apply_stq(xnet_w, v_h, mb * y, step)
-            sx2 = eps * s
-            x = mb * y + m * (
-                y * jnp.exp(sx2) + eps * (jnp.exp(eps * q) * v_h + t)
-            )
-            grad2 = grad_energy(x)
-            s, t, q = _apply_stq(vnet_w, x, grad2, step)
-            sv2 = 0.5 * eps * s
-            v = v_h * jnp.exp(sv2) + 0.5 * eps * (
-                -jnp.exp(eps * q) * grad2 + t
-            )
-        else:
-            # backward substep (utils/dynamics.py:159-201)
-            grad1 = grad_energy(x)
-            s, t, q = _apply_stq(vnet_w, x, grad1, step)
-            sv2 = -0.5 * eps * s
-            v_h = (
-                v - 0.5 * eps * (-jnp.exp(eps * q) * grad1 + t)
-            ) * jnp.exp(sv2)
-            s, t, q = _apply_stq(xnet_w, v_h, mb * x, step)
-            sx2 = -eps * s
-            y = mb * x + m * jnp.exp(sx2) * (
-                x - eps * (jnp.exp(eps * q) * v_h + t)
-            )
-            s, t, q = _apply_stq(xnet_w, v_h, m * y, step)
-            sx1 = -eps * s
-            x = m * y + mb * jnp.exp(sx1) * (
-                y - eps * (jnp.exp(eps * q) * v_h + t)
-            )
-            grad2 = grad_energy(x)
-            s, t, q = _apply_stq(vnet_w, x, grad2, step)
-            sv1 = -0.5 * eps * s
-            v = jnp.exp(sv1) * (
-                v_h - 0.5 * eps * (-jnp.exp(eps * q) * grad2 + t)
-            )
-
-        ld += jnp.sum(sv1 + sv2 + mb * sx1 + m * sx2, axis=0, keepdims=True)
+        x, v, ld_inc = _trajectory_step(
+            xnet_w, vnet_w, grad_energy, masks, eps, reverse, step, x, v,
+            emb=emb,
+        )
+        ld += ld_inc
     return x, v, ld
+
+
+def _trajectory_vjp(
+    xnet_w, vnet_w, grad_energy, masks, eps, T: int, reverse: bool,
+    x0, v0, dX, dV, dld,
+):
+    """Hand-rolled rematerialized VJP of :func:`_trajectory`.
+
+    jax.checkpoint cannot lower inside a Mosaic kernel (remat2 has no Pallas
+    TPU rule) and an un-remat'd jax.vjp over the whole trajectory keeps ~30
+    intermediates x T steps live, OOMing scoped VMEM above tile 256. So:
+    forward sweep storing only the per-step boundary (x, v); reverse sweep
+    re-runs jax.vjp on ONE step at a time — per-step residuals are recomputed
+    and die immediately, keeping VMEM flat in T. The logdet is a sum of
+    per-step increments, so every step receives the same ``dld`` cotangent.
+    """
+    steps = list(range(T - 1, -1, -1) if reverse else range(T))
+    xs, vs = [x0], [v0]
+    x, v = x0, v0
+    for step in steps:
+        x, v, _ = _trajectory_step(
+            xnet_w, vnet_w, grad_energy, masks, eps, reverse, step, x, v
+        )
+        xs.append(x)
+        vs.append(v)
+
+    dx, dv = dX, dV
+    dxw = [jnp.zeros_like(a) for a in xnet_w]
+    dvw = [jnp.zeros_like(a) for a in vnet_w]
+    deps = jnp.zeros_like(eps)
+    for i in range(len(steps) - 1, -1, -1):
+        step = steps[i]
+
+        def f(xw_, vw_, eps_, x_, v_, _step=step):
+            return _trajectory_step(
+                xw_, vw_, grad_energy, masks, eps_, reverse, _step, x_, v_
+            )
+
+        _, vjp = jax.vjp(f, xnet_w, vnet_w, eps, xs[i], vs[i])
+        dxw_i, dvw_i, deps_i, dx, dv = vjp((dx, dv, dld))
+        dxw = [a + b for a, b in zip(dxw, dxw_i)]
+        dvw = [a + b for a, b in zip(dvw, dvw_i)]
+        deps = deps + deps_i
+    return dxw, dvw, deps, dx, dv
+
+
+def _trajectory_step(
+    xnet_w, vnet_w, grad_energy, masks, eps, reverse: bool, step: int, x, v,
+    emb=None,
+):
+    """One leapfrog substep on transposed (D, TILE) state; returns
+    (x, v, logdet_increment)."""
+    m = masks[:, step : step + 1]  # (D, 1)
+    mb = 1.0 - m
+
+    if not reverse:
+        # forward substep (utils/dynamics.py:115-157)
+        grad1 = grad_energy(x)
+        s, t, q = _apply_stq(vnet_w, x, grad1, step, emb)
+        sv1 = 0.5 * eps * s
+        v_h = v * jnp.exp(sv1) + 0.5 * eps * (
+            -jnp.exp(eps * q) * grad1 + t
+        )
+        s, t, q = _apply_stq(xnet_w, v_h, m * x, step, emb)
+        sx1 = eps * s
+        y = m * x + mb * (
+            x * jnp.exp(sx1) + eps * (jnp.exp(eps * q) * v_h + t)
+        )
+        s, t, q = _apply_stq(xnet_w, v_h, mb * y, step, emb)
+        sx2 = eps * s
+        x = mb * y + m * (
+            y * jnp.exp(sx2) + eps * (jnp.exp(eps * q) * v_h + t)
+        )
+        grad2 = grad_energy(x)
+        s, t, q = _apply_stq(vnet_w, x, grad2, step, emb)
+        sv2 = 0.5 * eps * s
+        v = v_h * jnp.exp(sv2) + 0.5 * eps * (
+            -jnp.exp(eps * q) * grad2 + t
+        )
+    else:
+        # backward substep (utils/dynamics.py:159-201)
+        grad1 = grad_energy(x)
+        s, t, q = _apply_stq(vnet_w, x, grad1, step, emb)
+        sv2 = -0.5 * eps * s
+        v_h = (
+            v - 0.5 * eps * (-jnp.exp(eps * q) * grad1 + t)
+        ) * jnp.exp(sv2)
+        s, t, q = _apply_stq(xnet_w, v_h, mb * x, step, emb)
+        sx2 = -eps * s
+        y = mb * x + m * jnp.exp(sx2) * (
+            x - eps * (jnp.exp(eps * q) * v_h + t)
+        )
+        s, t, q = _apply_stq(xnet_w, v_h, m * y, step, emb)
+        sx1 = -eps * s
+        x = m * y + mb * jnp.exp(sx1) * (
+            y - eps * (jnp.exp(eps * q) * v_h + t)
+        )
+        grad2 = grad_energy(x)
+        s, t, q = _apply_stq(vnet_w, x, grad2, step, emb)
+        sv1 = -0.5 * eps * s
+        v = jnp.exp(sv1) * (
+            v_h - 0.5 * eps * (-jnp.exp(eps * q) * grad2 + t)
+        )
+
+    ld_inc = jnp.sum(sv1 + sv2 + mb * sx1 + m * sx2, axis=0, keepdims=True)
+    return x, v, ld_inc
 
 
 @functools.lru_cache(maxsize=None)
@@ -305,6 +374,273 @@ def fused_for_target(dynamics: Dynamics, target, **kw) -> FusedGaussianDynamics:
             "fused dynamics requires a Gaussian-family target with mu/_prec"
         )
     return FusedGaussianDynamics(dynamics, np.asarray(prec), np.asarray(mu), **kw)
+
+
+# -- differentiable fused trajectory (training path) --------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _make_bwd_kernel(T: int, reverse: bool, remat: bool = True):
+    """Backward kernel of the fused trajectory.
+
+    The body calls ``jax.vjp`` per step on the SAME ``_trajectory_step``
+    used by the forward kernel (via :func:`_trajectory_vjp`) — AD runs at
+    trace time, so Mosaic compiles one fused program containing the
+    recomputed forward plus the reverse sweep, with VMEM flat in T. No
+    hand-derived gradients to get wrong; the oracle is jax.grad of the XLA
+    path (tests/test_fused_dynamics.py).
+
+    Weight/eps gradients are summed across chain tiles by accumulating into
+    constant-index output blocks — TPU grid steps run sequentially, so the
+    revisited block acts as an accumulator (init at program 0).
+    """
+
+    def kernel(eps_ref, prec_ref, mu_ref, masks_ref, *refs):
+        xnet_w = [r[:] for r in refs[:_NET_ARRAYS]]
+        vnet_w = [r[:] for r in refs[_NET_ARRAYS : 2 * _NET_ARRAYS]]
+        base = 2 * _NET_ARRAYS
+        x_ref, v_ref, dX_ref, dV_ref, dld_ref = refs[base : base + 5]
+        outs = refs[base + 5 :]
+        dxw_refs = outs[:_NET_ARRAYS]
+        dvw_refs = outs[_NET_ARRAYS : 2 * _NET_ARRAYS]
+        deps_ref, dx_ref, dv_ref = outs[-3], outs[-2], outs[-1]
+
+        eps = eps_ref[0, 0]
+        prec = prec_ref[:]
+        mu = mu_ref[:]
+        masks = masks_ref[:]
+
+        def grad_energy(x_):
+            return jnp.dot(prec, x_ - mu, preferred_element_type=jnp.float32)
+
+        if remat:
+            dxw, dvw, deps, dx, dv = _trajectory_vjp(
+                xnet_w, vnet_w, grad_energy, masks, eps, T, reverse,
+                x_ref[:], v_ref[:], dX_ref[:], dV_ref[:], dld_ref[:],
+            )
+        else:
+            # whole-trajectory vjp: shorter program (no per-step recompute)
+            # but all residuals live at once — needs the raised VMEM cap
+            def traj_fn(xw, vw, eps_s, x, v):
+                return _trajectory(
+                    xw, vw, grad_energy, masks, eps_s, T, reverse, x, v
+                )
+
+            _, vjp_fn = jax.vjp(
+                traj_fn, xnet_w, vnet_w, eps, x_ref[:], v_ref[:]
+            )
+            dxw, dvw, deps, dx, dv = vjp_fn(
+                (dX_ref[:], dV_ref[:], dld_ref[:])
+            )
+
+        dx_ref[:] = dx
+        dv_ref[:] = dv
+
+        pid = pl.program_id(0)
+        for ref, g in zip(
+            list(dxw_refs) + list(dvw_refs) + [deps_ref],
+            list(dxw) + list(dvw) + [jnp.reshape(deps, (1, 1))],
+        ):
+            _accumulate(ref, g, pid)
+
+    return kernel
+
+
+def _accumulate(ref, g, pid):
+    """Init-then-add into a constant-index output block across grid steps."""
+
+    @pl.when(pid == 0)
+    def _():
+        ref[:] = g
+
+    @pl.when(pid > 0)
+    def _():
+        ref[:] = ref[:] + g
+
+
+@dataclasses.dataclass(frozen=True)
+class DifferentiableFusedDynamics:
+    """Training-path drop-in for ``Dynamics``: fused Pallas trajectories with
+    a ``jax.custom_vjp`` whose backward is the fused recompute+reverse kernel
+    (_make_bwd_kernel). Duck-types the Dynamics surface that ``mcmc.propose``
+    consumes (forward/backward/p_accept/eps/hmc), so the SCG train step
+    (train/scg.py) differentiates through ONE forward launch + ONE backward
+    launch per trajectory instead of the XLA micro-kernel swarm
+    (SURVEY.md §7 stage 7: fused substep "with custom_vjp for training";
+    reference semantics utils/dynamics.py:115-201).
+
+    Scope: Gaussian-family targets, temperature off (asserted at build).
+    The custom_vjp boundary sits at the flat weight lists — gradients flow
+    back through ``_extract_net``'s transposes/folds and ``eps = exp(alpha)``
+    via ordinary XLA autodiff outside the kernel.
+    """
+
+    fused: FusedGaussianDynamics
+    bwd_remat: bool = True
+    hmc: bool = dataclasses.field(default=False, init=False)
+
+    def __post_init__(self):
+        if self.fused.dynamics.use_temperature:
+            raise ValueError(
+                "DifferentiableFusedDynamics does not support temperature"
+            )
+        object.__setattr__(self, "_traj_cache", {})
+        object.__setattr__(self, "_bwd_cache", {})
+
+    # -- Dynamics surface ----------------------------------------------------
+
+    @property
+    def dynamics(self) -> Dynamics:
+        return self.fused.dynamics
+
+    def eps(self, params):
+        return self.fused.dynamics.eps(params)
+
+    def p_accept(self, params, x0, v0, x1, v1, log_jac, **kw):
+        return self.fused.dynamics.p_accept(params, x0, v0, x1, v1, log_jac, **kw)
+
+    def forward(self, params, x, v, **kw):
+        return self._run(params, x, v, reverse=False)
+
+    def backward(self, params, x, v, **kw):
+        return self._run(params, x, v, reverse=True)
+
+    def _run(self, params, x, v, *, reverse: bool):
+        dyn = self.fused.dynamics
+        xw = _extract_net(params["xnet"], dyn.times)
+        vw = _extract_net(params["vnet"], dyn.times)
+        eps = dyn.eps(params)
+        return self._traj(reverse)(xw, vw, eps, x, v)
+
+    # -- custom_vjp plumbing ---------------------------------------------------
+
+    def _traj(self, reverse: bool):
+        fn = self._traj_cache.get(reverse)
+        if fn is not None:
+            return fn
+        fused = self.fused
+
+        def primal(xw, vw, eps, x, v):
+            n = x.shape[0]
+            tile = min(fused.tile, n)
+            if n % tile != 0:
+                raise ValueError(
+                    f"n_chains {n} must be divisible by tile {tile}"
+                )
+            call = fused._get_callable(n, tile, reverse)
+            d = fused.dynamics.dim
+            xo, vo, ld = call(
+                jnp.reshape(eps, (1, 1)),
+                jnp.asarray(fused.prec, jnp.float32),
+                jnp.asarray(fused.mu, jnp.float32).reshape(d, 1),
+                jnp.asarray(fused.dynamics.masks.T, jnp.float32),
+                xw, vw, x.T, v.T,
+            )
+            return xo.T, vo.T, ld[0]
+
+        @jax.custom_vjp
+        def traj(xw, vw, eps, x, v):
+            return primal(xw, vw, eps, x, v)
+
+        def traj_fwd(xw, vw, eps, x, v):
+            return primal(xw, vw, eps, x, v), (xw, vw, eps, x, v)
+
+        def traj_bwd(res, cot):
+            xw, vw, eps, x, v = res
+            dX, dV, dld = cot
+            n = x.shape[0]
+            tile = min(fused.tile, n)
+            call = self._get_bwd_callable(n, tile, reverse)
+            d = fused.dynamics.dim
+            out = call(
+                jnp.reshape(eps, (1, 1)),
+                jnp.asarray(fused.prec, jnp.float32),
+                jnp.asarray(fused.mu, jnp.float32).reshape(d, 1),
+                jnp.asarray(fused.dynamics.masks.T, jnp.float32),
+                xw, vw,
+                x.T, v.T, dX.T, dV.T, dld[None, :],
+            )
+            dxw = list(out[:_NET_ARRAYS])
+            dvw = list(out[_NET_ARRAYS : 2 * _NET_ARRAYS])
+            deps, dxT, dvT = out[-3], out[-2], out[-1]
+            return dxw, dvw, jnp.reshape(deps, ()), dxT.T, dvT.T
+
+        traj.defvjp(traj_fwd, traj_bwd)
+        self._traj_cache[reverse] = traj
+        return traj
+
+    def _get_bwd_callable(self, n: int, tile: int, reverse: bool):
+        key = (n, tile, reverse)
+        fn = self._bwd_cache.get(key)
+        if fn is not None:
+            return fn
+        fused = self.fused
+        dyn = fused.dynamics
+        d = dyn.dim
+        kernel = _make_bwd_kernel(dyn.T, reverse, self.bwd_remat)
+        full = pl.BlockSpec(memory_space=pltpu.VMEM)
+        state_spec = pl.BlockSpec(
+            (d, tile), lambda i: (0, i), memory_space=pltpu.VMEM
+        )
+        ld_spec = pl.BlockSpec(
+            (1, tile), lambda i: (0, i), memory_space=pltpu.VMEM
+        )
+        # constant-index output block: revisited (and thus accumulable)
+        # across the sequential TPU grid steps
+        acc_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+        n_weights = 2 * _NET_ARRAYS
+
+        @jax.jit
+        def call(eps, prec, mu, masks, xw, vw, xT, vT, dXT, dVT, dldT):
+            grad_shapes = (
+                [jax.ShapeDtypeStruct(a.shape, jnp.float32) for a in xw]
+                + [jax.ShapeDtypeStruct(a.shape, jnp.float32) for a in vw]
+                + [
+                    jax.ShapeDtypeStruct((1, 1), jnp.float32),  # deps
+                    jax.ShapeDtypeStruct((d, n), jnp.float32),  # dx
+                    jax.ShapeDtypeStruct((d, n), jnp.float32),  # dv
+                ]
+            )
+            return pl.pallas_call(
+                kernel,
+                grid=(n // tile,),
+                in_specs=[
+                    pl.BlockSpec(
+                        (1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
+                    ),
+                    full,  # prec
+                    full,  # mu
+                    full,  # masks
+                    *([full] * n_weights),
+                    state_spec,  # x
+                    state_spec,  # v
+                    state_spec,  # dX
+                    state_spec,  # dV
+                    ld_spec,  # dld
+                ],
+                out_specs=tuple(
+                    [acc_spec] * (n_weights + 1) + [state_spec, state_spec]
+                ),
+                out_shape=tuple(grad_shapes),
+                # the recompute+reverse program's stack exceeds Mosaic's
+                # 16 MB default scoped-VMEM cap at tile 1024 (~36 MB); v5e
+                # has 128 MB physical VMEM — raise the cap instead of
+                # shrinking the tile (4x grid serialization costs more)
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024
+                ),
+                interpret=fused.interpret,
+            )(eps, prec, mu, masks, *xw, *vw, xT, vT, dXT, dVT, dldT)
+
+        self._bwd_cache[key] = call
+        return call
+
+
+def differentiable_fused(dynamics: Dynamics, target, bwd_remat: bool = True, **kw):
+    """Training-path fused dynamics for a Gaussian-family target."""
+    return DifferentiableFusedDynamics(
+        fused_for_target(dynamics, target, **kw), bwd_remat=bwd_remat
+    )
 
 
 # -- whole-chain sampler kernel ----------------------------------------------
@@ -583,3 +919,210 @@ def fused_chain_sampler(dynamics: Dynamics, target, **kw) -> FusedChainSampler:
             "fused dynamics requires a Gaussian-family target with mu/_prec"
         )
     return FusedChainSampler(dynamics, np.asarray(prec), np.asarray(mu), **kw)
+
+
+# -- VAE posterior sampler kernel (the MXU-scale workload) ---------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _make_vae_chain_kernel(T: int, n_mh_steps: int):
+    """K MH steps of the trained VAE posterior sampler in ONE launch.
+
+    Unlike the Gaussian kernel, the energy here is the decoder likelihood
+    U(z|x) = BCE(dec(z), x) + ||z||^2/2 (mnist_vae.py:122-127), so both the
+    Hamiltonian and its gradient run the FULL decoder (latent -> 1024 ->
+    1024 -> 784, softplus) inside the kernel: the analytic grad is one
+    forward + one transposed backward sweep — six real MXU matmuls per
+    energy-gradient call at hidden width 1024. The S/T/Q nets additionally
+    consume the per-chain aux embedding (4th Zip input, mnist_vae.py:134-140)
+    as a constant (H, TILE) residing in VMEM for the whole chain.
+
+    This is the workload BASELINE.md's "MXU-bound leapfrog at 8192 chains"
+    target refers to — the SCG nets are too small to feed the MXU.
+    """
+
+    def kernel(seed_ref, eps_ref, masks_ref, *refs):
+        a1, b1, a2, b2, a3, b3 = refs[:6]  # decoder, transposed layout
+        xnet_w = [r[:] for r in refs[6 : 6 + _NET_ARRAYS]]
+        vnet_w = [r[:] for r in refs[6 + _NET_ARRAYS : 6 + 2 * _NET_ARRAYS]]
+        x_raw_ref, emb_ref, z_ref = refs[6 + 2 * _NET_ARRAYS : 9 + 2 * _NET_ARRAYS]
+        zo_ref, acc_ref = refs[-2], refs[-1]
+
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+
+        eps = eps_ref[0, 0]
+        masks = masks_ref[:]
+        A1, B1 = a1[:], b1[:]
+        A2, B2 = a2[:], b2[:]
+        A3, B3 = a3[:], b3[:]
+        x_raw = x_raw_ref[:]  # (784, TILE)
+        emb = emb_ref[:]  # (H, TILE)
+
+        def dot(a, b):
+            return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+        def decoder(z):
+            p1 = dot(A1, z) + B1
+            h1 = jax.nn.softplus(p1)
+            p2 = dot(A2, h1) + B2
+            h2 = jax.nn.softplus(p2)
+            logits = dot(A3, h2) + B3
+            return p1, p2, logits
+
+        def grad_energy(z):
+            # dU/dz = J_dec(z)^T (sigmoid(logits) - x) + z; softplus' = sigmoid
+            p1, p2, logits = decoder(z)
+            d3 = jax.nn.sigmoid(logits) - x_raw
+            d2 = dot(A3.T, d3) * jax.nn.sigmoid(p2)
+            d1 = dot(A2.T, d2) * jax.nn.sigmoid(p1)
+            return dot(A1.T, d1) + z
+
+        def energy(z):
+            *_, logits = decoder(z)
+            bce = jnp.sum(
+                jnp.maximum(logits, 0.0)
+                - logits * x_raw
+                + jnp.log1p(jnp.exp(-jnp.abs(logits))),
+                axis=0,
+                keepdims=True,
+            )
+            return bce + 0.5 * jnp.sum(jnp.square(z), axis=0, keepdims=True)
+
+        def kinetic(v):
+            return 0.5 * jnp.sum(jnp.square(v), axis=0, keepdims=True)
+
+        def mh_step(_, carry):
+            z, acc_count = carry
+            v = _random_normal(z.shape)
+            zf, vf, ldf = _trajectory(
+                xnet_w, vnet_w, grad_energy, masks, eps, T, False, z, v,
+                emb=emb,
+            )
+            zb, vb, ldb = _trajectory(
+                xnet_w, vnet_w, grad_energy, masks, eps, T, True, z, v,
+                emb=emb,
+            )
+            fwd = (_random_uniform((1, z.shape[1])) < 0.5).astype(z.dtype)
+            zp = fwd * zf + (1.0 - fwd) * zb
+            vp = fwd * vf + (1.0 - fwd) * vb
+            lj = fwd * ldf + (1.0 - fwd) * ldb
+
+            h0 = energy(z) + kinetic(v)
+            h1 = energy(zp) + kinetic(vp)
+            px = jnp.exp(jnp.minimum(h0 - h1 + lj, 0.0))
+            px = jnp.where(jnp.isfinite(px), px, jnp.zeros_like(px))
+            u = _random_uniform(px.shape)
+            acc = (px - u >= 0.0).astype(z.dtype)
+            z_new = acc * zp + (1.0 - acc) * z
+            return z_new, acc_count + acc
+
+        z0 = z_ref[:]
+        acc0 = jnp.zeros_like(z0[:1])
+        z_final, acc_count = jax.lax.fori_loop(
+            0, n_mh_steps, mh_step, (z0, acc0)
+        )
+        zo_ref[:] = z_final
+        acc_ref[:] = acc_count * (1.0 / n_mh_steps)
+
+    return kernel
+
+
+@dataclasses.dataclass(frozen=True)
+class FusedVaeSampler:
+    """Whole-chain fused sampler for the trained VAE posterior
+    (mnist_vae.py architecture: latent 50, S/T/Q hidden 200, decoder
+    50->1024->1024->784). One launch per n_mh_steps; decoder energy +
+    gradient fully in-kernel."""
+
+    dynamics: Dynamics  # the VAE sampler dynamics (apps/vae.py build_dynamics)
+    tile: int = 512
+    interpret: bool = False
+
+    def __post_init__(self):
+        object.__setattr__(self, "_jit_cache", {})
+
+    def run(
+        self, smp_params, dec_params, x_raw: Array, emb: Array, z: Array,
+        seed: int, n_mh_steps: int,
+    ):
+        """Advance all chains n_mh_steps; returns (z_final, mean-accept).
+
+        ``x_raw`` is the (n, 784) conditioning batch (already tiled per
+        chain), ``emb`` the precomputed (n, H) aux-encoder embedding."""
+        dyn = self.dynamics
+        d = dyn.dim
+        n = z.shape[0]
+        tile = min(self.tile, n)
+        if n % tile != 0:
+            raise ValueError(f"n_chains {n} must be divisible by tile {tile}")
+
+        xnet_w = _extract_net(smp_params["xnet"], dyn.times)
+        vnet_w = _extract_net(smp_params["vnet"], dyn.times)
+        eps = jnp.reshape(dyn.eps(smp_params), (1, 1))
+        masks = jnp.asarray(dyn.masks.T, jnp.float32)
+        seed_arr = jnp.asarray([seed], jnp.int32)
+
+        def col(b):
+            return b.reshape(-1, 1)
+
+        lin1, _, lin2, _, lin3 = dec_params
+        dec = [
+            lin1["w"].T, col(lin1["b"]),
+            lin2["w"].T, col(lin2["b"]),
+            lin3["w"].T, col(lin3["b"]),
+        ]
+
+        call = self._get_callable(n, tile, n_mh_steps)
+        zo, acc = call(
+            seed_arr, eps, masks, dec, xnet_w, vnet_w,
+            x_raw.T, emb.T, z.T,
+        )
+        return zo.T, acc[0]
+
+    def _get_callable(self, n: int, tile: int, n_mh_steps: int):
+        key = (n, tile, n_mh_steps)
+        fn = self._jit_cache.get(key)
+        if fn is not None:
+            return fn
+        dyn = self.dynamics
+        d = dyn.dim
+        kernel = _make_vae_chain_kernel(dyn.T, n_mh_steps)
+        full = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+        def chains_spec(rows):
+            return pl.BlockSpec(
+                (rows, tile), lambda i: (0, i), memory_space=pltpu.VMEM
+            )
+
+        n_weights = 2 * _NET_ARRAYS
+
+        @jax.jit
+        def call(seed_arr, eps, masks, dec, xnet_w, vnet_w, xrT, embT, zT):
+            return pl.pallas_call(
+                kernel,
+                grid=(n // tile,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,)
+                    pl.BlockSpec(
+                        (1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
+                    ),
+                    full,  # masks
+                    *([full] * 6),  # decoder
+                    *([full] * n_weights),
+                    chains_spec(xrT.shape[0]),  # x_raw
+                    chains_spec(embT.shape[0]),  # emb
+                    chains_spec(d),  # z
+                ],
+                out_specs=(chains_spec(d), chains_spec(1)),
+                out_shape=(
+                    jax.ShapeDtypeStruct((d, n), jnp.float32),
+                    jax.ShapeDtypeStruct((1, n), jnp.float32),
+                ),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024
+                ),
+                interpret=self.interpret,
+            )(seed_arr, eps, masks, *dec, *xnet_w, *vnet_w, xrT, embT, zT)
+
+        self._jit_cache[key] = call
+        return call

@@ -64,6 +64,12 @@ class ScgConfig:
     # 4x-48x final ESS across seeds); chunk-best selection recovers the
     # strong intermediate sampler at zero extra compute.
     select_best: bool = False
+    # run training trajectories through the fused Pallas kernel with its
+    # custom_vjp (ops/fused_dynamics.py): one forward + one backward launch
+    # per trajectory instead of the XLA micro-kernel swarm. Gaussian-family
+    # targets only; incompatible with temperature annealing.
+    fused_train: bool = False
+    fused_tile: int = 1024
 
 
 class TrainState(NamedTuple):
@@ -186,7 +192,21 @@ def train(
     optimizer, schedule = make_optimizer(config)
     if state is None:
         state = init_state(config, dynamics, optimizer)
-    step_fn = make_train_step(config, dynamics, optimizer)
+    step_dynamics = dynamics
+    if config.fused_train:
+        if config.init_temperature > 1.0:
+            raise ValueError(
+                "fused_train does not support temperature annealing"
+            )
+        from l2hmc_tpu.ops import differentiable_fused
+
+        step_dynamics = differentiable_fused(
+            dynamics, target,
+            tile=min(config.fused_tile, config.n_chains),
+            # Mosaic kernels need TPU; CPU (tests) runs the interpreter
+            interpret=jax.default_backend() == "cpu",
+        )
+    step_fn = make_train_step(config, step_dynamics, optimizer)
 
     if config.n_chains < 1:
         raise ValueError(f"n_chains must be >= 1, got {config.n_chains}")

@@ -63,8 +63,14 @@ def test_fused_rejects_non_gaussian():
         fused_for_target(dyn, rw)
 
 
-def test_fused_chain_sampler_statistics(setup):
-    """Whole-chain kernel: chains move, acceptance sane, state finite."""
+def test_fused_chain_sampler_exact_parity(setup):
+    """Whole-chain kernel vs XLA, deterministically: the Pallas interpreter's
+    zero random bits make momentum a known constant, direction always
+    forward, accept always true — so K kernel MH steps must equal K XLA
+    forward trajectories exactly (see test_fused_vae_sampler_exact_parity
+    for the derivation)."""
+    from jax.experimental.pallas import tpu as pltpu
+
     from l2hmc_tpu.ops import fused_chain_sampler
     from l2hmc_tpu.train import ScgConfig, build_dynamics
 
@@ -73,19 +79,19 @@ def test_fused_chain_sampler_statistics(setup):
     params = dyn.init_params(jax.random.key(0), eps=0.1)
     sampler = fused_chain_sampler(dyn, target, tile=128)
     x0 = jax.random.normal(jax.random.key(1), (256, 2), jnp.float32)
-    # plain interpret=True lacks the TPU PRNG primitives on CPU; the TPU
-    # interpreter emulates them
-    from jax.experimental.pallas import tpu as pltpu
-
+    n_steps = 5
     with pltpu.force_tpu_interpret_mode():
-        x1, acc = sampler.run(params, x0, seed=7, n_mh_steps=5)
-    assert x1.shape == x0.shape
-    a = np.asarray(acc)
-    assert (a >= 0).all() and (a <= 1).all()
-    assert 0.3 < a.mean() <= 1.0  # near-identity nets, eps=0.1: high accept
-    moved = np.abs(np.asarray(x1) - np.asarray(x0)).max(axis=1) > 0
-    assert moved.mean() > 0.5
+        x1, acc = sampler.run(params, x0, seed=7, n_mh_steps=n_steps)
     assert np.isfinite(np.asarray(x1)).all()
+    np.testing.assert_array_equal(np.asarray(acc), 1.0)  # zero-bits accept
+
+    v_const = jnp.full_like(x0, float(np.sqrt(-2.0 * np.log(1e-7))))
+    x = x0
+    for _ in range(n_steps):
+        x, _, _ = dyn.forward(params, x, v_const)
+    np.testing.assert_allclose(
+        np.asarray(x1), np.asarray(x), rtol=2e-4, atol=2e-4
+    )
 
 
 def test_fused_chain_sampler_trace():
@@ -117,3 +123,114 @@ def test_fused_chain_sampler_trace():
     assert np.isfinite(np.asarray(trace)).all()
     # chains keep moving between chunk boundaries
     assert np.abs(np.asarray(trace[10]) - np.asarray(trace[-1])).max() > 0
+
+
+def test_differentiable_fused_grad_parity(setup):
+    """custom_vjp fused trajectory: gradients wrt every parameter (both
+    nets, alpha) and wrt (x, v) match jax.grad of the XLA path. The backward
+    kernel re-derives nothing by hand — it traces jax.vjp of the shared
+    _trajectory inside the kernel — so this is the end-to-end oracle."""
+    from l2hmc_tpu.ops.fused_dynamics import DifferentiableFusedDynamics
+
+    dyn, fused, params, x, v = setup
+    fd = DifferentiableFusedDynamics(fused)
+
+    def loss(d, p, x, v):
+        X, V, ld = d.forward(p, x, v)
+        Xb, Vb, ldb = d.backward(p, x, v)
+        return (
+            jnp.mean(X * Xb)
+            + jnp.mean(V + Vb)
+            + jnp.mean(ld - 2.0 * ldb)
+            + jnp.mean(d.p_accept(p, x, v, X, V, ld))
+        )
+
+    l_r, g_r = jax.value_and_grad(loss, argnums=(1, 2, 3))(dyn, params, x, v)
+    l_f, g_f = jax.value_and_grad(loss, argnums=(1, 2, 3))(fd, params, x, v)
+    assert abs(float(l_r) - float(l_f)) < 1e-4
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_r), jax.tree_util.tree_leaves(g_f)
+    ):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-6
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=0, atol=2e-3 * scale
+        )
+
+
+def test_fused_train_matches_xla_training():
+    """End-to-end: 60 training steps with fused_train=True reproduce the
+    XLA path's loss/acceptance/eps trajectory (same seeds, same RNG)."""
+    from l2hmc_tpu.train import ScgConfig, train
+
+    hists = {}
+    for fused in (False, True):
+        cfg = ScgConfig(
+            n_chains=64, T=4, n_steps=60, seed=3,
+            fused_train=fused, fused_tile=64,
+        )
+        _, hists[fused] = train(cfg)
+    np.testing.assert_allclose(
+        hists[True]["loss"], hists[False]["loss"], rtol=2e-3, atol=1e-2
+    )
+    np.testing.assert_allclose(
+        float(hists[True]["eps"][-1]), float(hists[False]["eps"][-1]),
+        rtol=1e-3,
+    )
+
+
+def test_fused_vae_sampler_exact_parity():
+    """VAE posterior kernel vs the XLA path, DETERMINISTICALLY.
+
+    The Pallas interpreter's prng_random_bits returns all-zero bits, which
+    makes the kernel a pure function: momentum = Box-Muller(1e-7, 0) =
+    sqrt(-2 ln 1e-7) per element, direction = forward, accept = always
+    (u = 0 <= px). Replicating that schedule on the XLA path turns the
+    statistical smoke test into an exact end-to-end parity check of the
+    in-kernel decoder energy gradient, S/T/Q applies, and aux-embedding
+    plumbing. (Compiled-TPU statistics are covered by bench.py.)"""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from l2hmc_tpu.apps import vae
+    from l2hmc_tpu.ops import FusedVaeSampler
+
+    cfg = vae.VaeConfig(
+        latent_dim=8, leapfrogs=3, enc_hidden=32,
+        sampler_size1=16, sampler_size2=16, seed=0,
+    )
+    model = vae.VaeModel.build(cfg)
+    params = model.init_params(jax.random.key(0))
+    n = 128
+    x_raw = (jax.random.uniform(jax.random.key(1), (n, 784)) < 0.3).astype(
+        jnp.float32
+    )
+    emb = model.aux_encoder.apply(params["smp"]["aux_enc"], x_raw)
+    z0 = jax.random.normal(jax.random.key(2), (n, cfg.latent_dim), jnp.float32)
+
+    sampler = FusedVaeSampler(model.dynamics, tile=64)
+    n_steps = 3
+    with pltpu.force_tpu_interpret_mode():
+        z1, acc = sampler.run(
+            params["smp"], params["dec"], x_raw, emb, z0, seed=5,
+            n_mh_steps=n_steps,
+        )
+        # embedding must matter: a different emb changes the trajectories
+        z1_alt, _ = sampler.run(
+            params["smp"], params["dec"], x_raw, emb + 1.0, z0, seed=5,
+            n_mh_steps=n_steps,
+        )
+    assert np.isfinite(np.asarray(z1)).all()
+    assert not np.allclose(np.asarray(z1), np.asarray(z1_alt))
+    # zero random bits => accept mask (px - 0 >= 0) is always true
+    np.testing.assert_array_equal(np.asarray(acc), 1.0)
+
+    # XLA replication of the zero-bits schedule
+    v_const = jnp.full_like(z0, float(np.sqrt(-2.0 * np.log(1e-7))))
+    aux = {"raw": x_raw, "emb": emb, "dec": params["dec"]}
+    z = z0
+    for _ in range(n_steps):
+        z, _, _ = model.dynamics.forward(
+            params["smp"], z, v_const, aux=aux
+        )
+    np.testing.assert_allclose(
+        np.asarray(z1), np.asarray(z), rtol=2e-4, atol=2e-4
+    )
