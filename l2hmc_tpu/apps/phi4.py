@@ -58,9 +58,16 @@ def run(
     eval_steps: int = 1000,
     hmc_eps: float = 0.1,
     init_temperature: float = 1.0,
+    pt_rungs: int = 0,
+    pt_t_max: float = 16.0,
     seed: int = 0,
     log_every: int = 0,
 ) -> dict:
+    """Train + evaluate on the phi^4 lattice. With ``pt_rungs > 0`` the
+    evaluation additionally runs parallel-tempered chains (geometric ladder
+    to ``pt_t_max``) for BOTH the trained sampler and the HMC baseline —
+    the replica-exchange route through the domain-wall barrier that blocks
+    single-temperature kernels in the deep broken phase (PARITY.md)."""
     target = Phi4Lattice(L=L, m2=m2, lam=lam)
     cfg = ScgConfig(
         dim=target.dim,
@@ -89,7 +96,7 @@ def run(
     m_l2hmc = np.asarray(jax.vmap(target.magnetization)(trace))
     m_hmc = np.asarray(jax.vmap(target.magnetization)(hmc_trace))
 
-    return {
+    result = {
         "L": L,
         "m2": m2,
         "lam": lam,
@@ -103,6 +110,49 @@ def run(
         "train_time_s": train_time,
     }
 
+    if pt_rungs > 1:
+        from l2hmc_tpu.dynamics import Dynamics
+        from l2hmc_tpu.mcmc.tempering import (
+            geometric_temps,
+            pt_hmc_sample_chain,
+            pt_sample_chain,
+        )
+
+        temps = geometric_temps(pt_t_max, pt_rungs)
+        # replicas share chain budget so PT costs the same device FLOPs
+        n_rep = max(n_chains // pt_rungs, 1)
+        x0_pt = jnp.tile(x0[None, :n_rep], (pt_rungs, 1, 1))
+
+        if dynamics.use_temperature:
+            pt_dyn, pt_params = dynamics, state.params
+        else:
+            # rebuild the trained sampler with temperature plumbing on
+            pt_dyn = Dynamics(
+                dim=dynamics.dim, energy=dynamics.energy, T=dynamics.T,
+                xnet=dynamics.xnet, vnet=dynamics.vnet,
+                mask_seed=dynamics.mask_seed, use_temperature=True,
+            )
+            pt_params = state.params
+        _, pt_trace = pt_sample_chain(
+            pt_dyn, pt_params, x0_pt, temps, eval_steps,
+            jax.random.key(seed + 4),
+        )
+        _, pt_hmc_trace = pt_hmc_sample_chain(
+            target, hmc_eps, leapfrogs, x0_pt, temps, eval_steps,
+            jax.random.key(seed + 5),
+        )
+        m_pt = np.asarray(jax.vmap(target.magnetization)(pt_trace))
+        m_pt_hmc = np.asarray(jax.vmap(target.magnetization)(pt_hmc_trace))
+        result.update(
+            pt_rungs=pt_rungs,
+            pt_t_max=pt_t_max,
+            tunneling_rate_pt_l2hmc=tunneling_rate(m_pt),
+            tunneling_rate_pt_hmc=tunneling_rate(m_pt_hmc),
+            ess_m_pt_l2hmc=magnetization_ess(m_pt),
+            ess_m_pt_hmc=magnetization_ess(m_pt_hmc),
+        )
+    return result
+
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
@@ -115,6 +165,9 @@ def main(argv=None):
     p.add_argument("--leapfrogs", type=int, default=10)
     p.add_argument("--hidden", type=int, default=32)
     p.add_argument("--eval_steps", type=int, default=1000)
+    p.add_argument("--pt_rungs", type=int, default=0,
+                   help="parallel-tempering rungs for the eval (0 = off)")
+    p.add_argument("--pt_t_max", type=float, default=16.0)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
     r = run(**vars(args))

@@ -17,9 +17,19 @@ from l2hmc_tpu.mcmc.sampler import (
     metropolis_mask,
     propose,
 )
+from l2hmc_tpu.mcmc.tempering import (
+    geometric_temps,
+    pt_hmc_sample_chain,
+    pt_sample_chain,
+    swap_step,
+)
 
 __all__ = [
     "ProposeOut",
+    "geometric_temps",
+    "pt_hmc_sample_chain",
+    "pt_sample_chain",
+    "swap_step",
     "chain_operator",
     "metropolis",
     "metropolis_mask",

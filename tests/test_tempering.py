@@ -1,0 +1,76 @@
+"""Parallel tempering tests: swap-move invariants and mode recovery on a
+far-separated bimodal target plain HMC cannot cross."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from l2hmc_tpu import mcmc, targets
+from l2hmc_tpu.dynamics import Dynamics
+from l2hmc_tpu.mcmc.tempering import geometric_temps, pt_sample_chain, swap_step
+from l2hmc_tpu.train import hmc_sample_chain
+
+
+def test_geometric_temps():
+    t = np.asarray(geometric_temps(16.0, 5))
+    np.testing.assert_allclose(t[0], 1.0, rtol=1e-6)
+    np.testing.assert_allclose(t[-1], 16.0, rtol=1e-6)
+    np.testing.assert_allclose(t[1:] / t[:-1], 2.0, rtol=1e-5)
+
+
+def test_swap_equal_temps_always_swaps_parity_pairs(key):
+    """With all temperatures equal, logA = 0 and every parity pair swaps
+    (log u < 0 a.s.) — rungs 0/1 exchange states exactly."""
+    K, n, d = 4, 8, 2
+    x = jax.random.normal(key, (K, n, d))
+    U = jnp.zeros((K, n))
+    temps = jnp.ones((K,))
+    out = swap_step(jax.random.key(1), x, U, temps, parity=0)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(x[1]))
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(x[0]))
+    np.testing.assert_allclose(np.asarray(out[2]), np.asarray(x[3]))
+    np.testing.assert_allclose(np.asarray(out[3]), np.asarray(x[2]))
+
+
+def test_swap_infinite_temp_gap_never_swaps(key):
+    """A colder rung at HIGHER energy always swaps; the reverse (colder rung
+    already lower-energy) is suppressed — check the one-sided rule."""
+    K, n, d = 2, 64, 2
+    x = jax.random.normal(key, (K, n, d))
+    temps = jnp.asarray([1.0, 100.0])
+    # rung 0 (cold) at much lower energy than rung 1: logA strongly negative
+    U = jnp.stack([jnp.full((n,), -100.0), jnp.full((n,), 100.0)])
+    out = swap_step(jax.random.key(2), x, U, temps, parity=0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x))
+    # reversed energies: logA strongly positive -> always swap
+    out2 = swap_step(jax.random.key(3), x, U[::-1], temps, parity=0)
+    np.testing.assert_allclose(np.asarray(out2[0]), np.asarray(x[1]))
+
+
+def test_pt_recovers_bimodal_modes(key):
+    """mog2 with far modes: plain HMC started in one mode stays there
+    (mean magnetization ~ +mu); PT-HMC with a hot rung visits both modes
+    (rung-0 mean near 0, both signs present)."""
+    target = targets.mog2(distance=6.0, var=0.1)
+    n, K, steps = 64, 5, 800
+    temps = geometric_temps(50.0, K)
+    # start ALL chains in the +x mode
+    x0_single = jnp.ones((n, 2)) * jnp.asarray([3.0, 0.0])
+    x0 = jnp.tile(x0_single[None], (K, 1, 1))
+
+    _, hmc_trace = hmc_sample_chain(
+        target, 0.25, 10, x0_single, steps, jax.random.key(5)
+    )
+    hmc_m = np.asarray(hmc_trace)[..., 0]  # x-coordinate
+    assert hmc_m.min() > 0.5, "plain HMC unexpectedly crossed the barrier"
+
+    dyn = Dynamics(
+        dim=2, energy=target.energy, T=10, hmc=True, use_temperature=True
+    )
+    params = dyn.init_params(jax.random.key(6), eps=0.25)
+    _, pt_trace = pt_sample_chain(
+        dyn, params, x0, temps, steps, jax.random.key(7)
+    )
+    pt_m = np.asarray(pt_trace)[..., 0]
+    frac_neg = (pt_m[steps // 2 :] < 0).mean()
+    assert 0.2 < frac_neg < 0.8, f"PT rung-0 mode fraction {frac_neg}"
