@@ -65,9 +65,16 @@ class ScgConfig:
     # strong intermediate sampler at zero extra compute.
     select_best: bool = False
     # run training trajectories through the fused Pallas kernel with its
-    # custom_vjp (ops/fused_dynamics.py): one forward + one backward launch
-    # per trajectory instead of the XLA micro-kernel swarm. Gaussian-family
-    # targets only; incompatible with temperature annealing.
+    # custom_vjp (ops/fused_dynamics.py). Gaussian-family targets only;
+    # incompatible with temperature annealing. OFF by default on purpose:
+    # measured on v5e at 1024 chains (SCG config), the Mosaic backward
+    # kernel loses badly to XLA's backward — 277 ms/step (per-step-remat
+    # vjp, tile 1024) / 222 ms/step (whole-trajectory vjp) / 337 s per 5k
+    # steps (tile 256) vs ~4 ms/step for the XLA path. The dim-2/hidden-10
+    # reverse sweep is reduction-heavy tiny-operand work Mosaic schedules
+    # poorly; XLA's fused backward is already near launch-bound. Kept as a
+    # correct, tested capability (grad parity 7e-7) for architectures where
+    # the balance differs.
     fused_train: bool = False
     fused_tile: int = 1024
 
@@ -247,6 +254,13 @@ def train(
         k: np.concatenate([h[k] for h in history]) for k in history[0]
     }
     if config.select_best and best_state is not None:
+        # NOTE: the snapshot is the full TrainState of the best chunk's end —
+        # its opt_state/step belong to THAT point in training, so resuming
+        # from it rewinds the lr schedule and Adam moments to mid-run. That
+        # is intentional for its purpose (pick the strongest sampler for
+        # EVALUATION out of a seed-noisy ESJD run); to continue training to
+        # the full step budget instead, resume from the returned state only
+        # when select_best=False.
         state = best_state
     return state, merged
 
