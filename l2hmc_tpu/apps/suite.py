@@ -54,7 +54,12 @@ def _target_registry() -> dict[str, Callable]:
 _TARGET_OVERRIDES: dict[str, dict] = {
     "scg": {},
     "icg": {"hidden": 50, "eps": 0.1, "hmc_eps": 0.15, "init_temperature": 5.0},
-    "rough_well": {"eps": 0.02, "hmc_eps": 0.02},
+    # measured sweep (icg_rough_sweep.json): shorter trajectories at a
+    # moderate step size beat the tiny-eps full-length recipe 2x+ — the
+    # rough ripple derails long trajectories, and the nets only need to
+    # out-jump HMC per step
+    "rough_well": {"eps": 0.05, "hmc_eps": 0.03, "leapfrogs": 5,
+                   "hidden": 20},
     "ring": {"init_temperature": 5.0, "hmc_eps": 0.25, "eps": 0.2},
     "mog2": {"init_temperature": 25.0, "hmc_eps": 0.25, "eps": 0.3,
              "hidden": 20, "n_steps": 8000},
@@ -76,6 +81,7 @@ _GLOBAL_DEFAULTS: dict = {
     # (measured 4x-48x final-ESS spread across seeds); for a benchmark
     # suite we evaluate the strongest intermediate sampler
     "select_best": True,
+    "eps_trainable": True,
 }
 
 
@@ -126,6 +132,7 @@ def run_target(
     hmc_eps, hidden, eps = eff["hmc_eps"], eff["hidden"], eff["eps"]
     init_temperature, grad_clip = eff["init_temperature"], eff["grad_clip"]
     select_best = eff["select_best"]
+    eps_trainable = eff["eps_trainable"]
 
     target = _target_registry()[name]()
     dim = target.dim
@@ -140,6 +147,7 @@ def run_target(
         init_temperature=init_temperature,
         grad_clip=grad_clip,
         select_best=select_best,
+        eps_trainable=eps_trainable,
     )
     dynamics, _ = build_dynamics(cfg, target)
 

@@ -46,6 +46,12 @@ class ScgConfig:
     n_steps: int = 5000
     seed: int = 0
     mask_seed: int = 0
+    # trainable alpha = log(eps) (reference utils/dynamics.py:49-58). On
+    # severely anisotropic targets (paper ICG, sigma_min 0.1) the ESJD
+    # objective drives eps past the stiff-dim leapfrog stability bound and
+    # acceptance never recovers; freezing eps keeps the baseline integrator
+    # stable while the S/T/Q nets learn per-dimension scaling.
+    eps_trainable: bool = True
     remat: bool = False
     grad_clip: float = 0.0  # global-norm clip; 0 = off (reference SCG had none)
     # temperature annealing (arXiv 1711.09268 uses it; the reference wires
@@ -99,6 +105,7 @@ def build_dynamics(config: ScgConfig, target=None) -> tuple[Dynamics, Any]:
         xnet=xnet,
         vnet=vnet,
         mask_seed=config.mask_seed,
+        eps_trainable=config.eps_trainable,
         use_temperature=config.init_temperature > 1.0,
     )
     return dyn, target
