@@ -82,6 +82,8 @@ _GLOBAL_DEFAULTS: dict = {
     # suite we evaluate the strongest intermediate sampler
     "select_best": True,
     "eps_trainable": True,
+    "z_burn_in_loss": True,
+    "whiten_loss": False,
 }
 
 
@@ -148,6 +150,8 @@ def run_target(
         grad_clip=grad_clip,
         select_best=select_best,
         eps_trainable=eps_trainable,
+        z_burn_in_loss=eff["z_burn_in_loss"],
+        whiten_loss=eff["whiten_loss"],
     )
     dynamics, _ = build_dynamics(cfg, target)
 

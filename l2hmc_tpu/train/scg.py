@@ -52,6 +52,19 @@ class ScgConfig:
     # acceptance never recovers; freezing eps keeps the baseline integrator
     # stable while the S/T/Q nets learn per-dimension scaling.
     eps_trainable: bool = True
+    # include the notebook's auxiliary burn-in term (fresh z ~ N(0, I)
+    # proposals, cell 9). On wide-scale targets (paper ICG, sigma up to 10)
+    # the z-chains start far outside the typical set; their distance term
+    # rewards astronomic jumps and the mixed loss goes to -inf while real
+    # acceptance collapses to 0 (measured: loss -3.4e5, accept 0.000 by
+    # step 250). Disable to train on equilibrium x-chains only.
+    z_burn_in_loss: bool = True
+    # measure jump distance in per-dimension sigma units (whitened ESJD).
+    # The reference itself does this where scales vary (the VAE loss divides
+    # by sigma_q^2, mnist_vae.py:209-210); on anisotropic targets the raw
+    # distance term is dominated by the widest dimensions, so the objective
+    # can reward blowing them up at the expense of global acceptance.
+    whiten_loss: bool = False
     remat: bool = False
     grad_clip: float = 0.0  # global-norm clip; 0 = off (reference SCG had none)
     # temperature annealing (arXiv 1711.09268 uses it; the reference wires
@@ -145,10 +158,19 @@ def init_state(config: ScgConfig, dynamics: Dynamics, optimizer) -> TrainState:
     return TrainState(params, opt_state, x, k_run, jnp.zeros((), jnp.int32))
 
 
-def make_train_step(config: ScgConfig, dynamics: Dynamics, optimizer):
+def make_train_step(
+    config: ScgConfig, dynamics: Dynamics, optimizer, loss_sigmas=None
+):
     """One jitted training step: joint loss on (x, z) proposals, Adam update,
     chain state advanced by the x-proposal's MH output (cell 12 fetches
-    ``output[0]``)."""
+    ``output[0]``). ``loss_sigmas`` (dim,) whitens the jump distance when
+    ``config.whiten_loss`` (train() derives it from the target covariance)."""
+    sig = None
+    if loss_sigmas is not None:
+        sig = jnp.asarray(loss_sigmas, jnp.float32)[None, :]
+
+    def whiten(a):
+        return a / sig if sig is not None else a
 
     def loss_fn(params, x, key, temperature):
         k_x, k_z, k_zprop = jax.random.split(key, 3)
@@ -156,16 +178,22 @@ def make_train_step(config: ScgConfig, dynamics: Dynamics, optimizer):
             k_x, dynamics, params, x, do_mh_step=True, remat=config.remat,
             temperature=temperature,
         )
-        z = jax.random.normal(k_z, x.shape, x.dtype)
-        out_z = mcmc.propose(
-            k_zprop, dynamics, params, z, remat=config.remat,
-            temperature=temperature,
-        )
-        loss = mcmc.scg_joint_loss(
-            x, out_x.x_prop, out_x.p_accept,
-            z, out_z.x_prop, out_z.p_accept,
-            scale=config.scale,
-        )
+        if config.z_burn_in_loss:
+            z = jax.random.normal(k_z, x.shape, x.dtype)
+            out_z = mcmc.propose(
+                k_zprop, dynamics, params, z, remat=config.remat,
+                temperature=temperature,
+            )
+            loss = mcmc.scg_joint_loss(
+                whiten(x), whiten(out_x.x_prop), out_x.p_accept,
+                whiten(z), whiten(out_z.x_prop), out_z.p_accept,
+                scale=config.scale,
+            )
+        else:
+            loss = mcmc.loss_mixed(
+                whiten(x), whiten(out_x.x_prop), out_x.p_accept,
+                scale=config.scale,
+            )
         return loss, (out_x.x_next, out_x.p_accept)
 
     def train_step(state: TrainState, _) -> tuple[TrainState, dict]:
@@ -220,7 +248,15 @@ def train(
             # Mosaic kernels need TPU; CPU (tests) runs the interpreter
             interpret=jax.default_backend() == "cpu",
         )
-    step_fn = make_train_step(config, step_dynamics, optimizer)
+    loss_sigmas = None
+    if config.whiten_loss:
+        sigma = getattr(target, "sigma", None)
+        if sigma is None or np.asarray(sigma).ndim != 2:
+            raise ValueError(
+                "whiten_loss requires a target with a known covariance"
+            )
+        loss_sigmas = np.sqrt(np.diag(np.asarray(sigma)))
+    step_fn = make_train_step(config, step_dynamics, optimizer, loss_sigmas)
 
     if config.n_chains < 1:
         raise ValueError(f"n_chains must be >= 1, got {config.n_chains}")

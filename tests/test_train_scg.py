@@ -56,3 +56,34 @@ def test_temperature_annealing():
     state, hist = train(cfg)
     assert np.isfinite(hist["loss"]).all()
     assert hist["temperature"][0] > hist["temperature"][-1]
+
+
+def test_whitened_x_only_loss_trains():
+    """whiten_loss + z_burn_in_loss=False: the anisotropic-target recipe
+    (per-dim sigma-unit ESJD, equilibrium chains only) trains with healthy
+    acceptance on a small paper-conditioned ICG where the raw joint loss is
+    gamed into acceptance collapse (see ScgConfig docstrings)."""
+    import numpy as np
+
+    from l2hmc_tpu import targets
+    from l2hmc_tpu.train import ScgConfig, train
+
+    tgt = targets.ill_conditioned_gaussian(10, 4.0)
+    cfg = ScgConfig(
+        dim=10, n_chains=32, T=4, hidden=16, eps=0.05, n_steps=80, seed=1,
+        z_burn_in_loss=False, whiten_loss=True,
+    )
+    state, hist = train(cfg, target=tgt)
+    assert np.isfinite(hist["loss"]).all()
+    assert hist["p_accept"][-1] > 0.3
+
+
+def test_whiten_loss_requires_covariance():
+    import pytest
+
+    from l2hmc_tpu import targets
+    from l2hmc_tpu.train import ScgConfig, train
+
+    cfg = ScgConfig(dim=10, n_chains=8, T=2, n_steps=2, whiten_loss=True)
+    with pytest.raises(ValueError, match="covariance"):
+        train(cfg, target=targets.RoughWell(dim=10, eps=0.1))
