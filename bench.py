@@ -148,10 +148,12 @@ def main():
 
     x0 = target.sample(jax.random.key(cfg.seed + 1), cfg.n_chains)
 
-    # L2HMC eval: ONE fused kernel launch emits the full (2000, N, D) trace
+    # L2HMC eval: ONE fused kernel launch emits the full (2000, N, D) trace.
+    # Warm up at the SAME n_mh_steps — the kernel program is specialized on
+    # the step count, so a short warmup would leave the timed call compiling.
     sampler = fused_chain_sampler(dynamics, target, tile=min(2048, cfg.n_chains))
     jax.block_until_ready(
-        sampler.run(state.params, x0, seed=cfg.seed, n_mh_steps=10,
+        sampler.run(state.params, x0, seed=cfg.seed, n_mh_steps=eval_steps,
                     collect_trace=True)[0]
     )  # compile
     t1 = time.perf_counter()
