@@ -173,11 +173,14 @@ def main():
     jax.block_until_ready(xla_trace)
     eval_time_xla = time.perf_counter() - t2
 
-    ess_l2hmc = evaluate_ess(fused_trace, target.sigma)
-    ess_l2hmc_xla = evaluate_ess(xla_trace, target.sigma)
-    rel = abs(ess_l2hmc - ess_l2hmc_xla) / max(ess_l2hmc_xla, 1e-12)
+    # headline ESS from the XLA-keyed eval (the exact reference protocol,
+    # stable across rounds); the fused single-launch trace must agree within
+    # MC tolerance and carries the eval-time claim
+    ess_l2hmc_fused = evaluate_ess(fused_trace, target.sigma)
+    ess_l2hmc = evaluate_ess(xla_trace, target.sigma)
+    rel = abs(ess_l2hmc_fused - ess_l2hmc) / max(ess_l2hmc, 1e-12)
     assert rel < 0.30, (
-        f"fused-trace ESS {ess_l2hmc} vs XLA-path ESS {ess_l2hmc_xla}: "
+        f"fused-trace ESS {ess_l2hmc_fused} vs XLA-path ESS {ess_l2hmc}: "
         f"relative gap {rel:.2f} exceeds tolerance"
     )
 
@@ -203,7 +206,7 @@ def main():
         "vs_baseline": round(ratio / BASELINE_ESS_RATIO, 4),
         "extra": {
             "ess_l2hmc": round(ess_l2hmc, 6),
-            "ess_l2hmc_xla_path": round(ess_l2hmc_xla, 6),
+            "ess_l2hmc_fused_trace": round(ess_l2hmc_fused, 6),
             "ess_hmc": round(ess_hmc, 6),
             "final_accept": round(float(history["p_accept"][-100:].mean()), 4),
             "final_loss": round(float(history["loss"][-1]), 1),
