@@ -180,6 +180,38 @@ def run_target(
     jax.block_until_ready(trace)
     eval_time = time.perf_counter() - t1
 
+    # fused single-launch eval (trace-emitting Pallas chain kernel): run it
+    # alongside the XLA-keyed protocol eval wherever the target has an
+    # in-kernel energy spec. The XLA ESS stays the scored number (protocol
+    # stability across rounds); the fused ESS is recorded as a statistical
+    # cross-check plus the single-launch eval time. TPU only — the
+    # interpreter would be slower than XLA on CPU.
+    fused_extra = {}
+    if jax.default_backend() == "tpu":
+        try:
+            from l2hmc_tpu.ops import fused_chain_sampler
+
+            sampler = fused_chain_sampler(
+                dynamics, target, tile=min(2048, n_chains)
+            )
+        except ValueError:
+            sampler = None  # no in-kernel energy spec (e.g. funnel)
+        if sampler is not None:
+            # warm up at the measured step count (the kernel program is
+            # specialized on n_mh_steps)
+            jax.block_until_ready(
+                sampler.run(state.params, x0, seed=seed,
+                            n_mh_steps=eval_steps, collect_trace=True)[0]
+            )
+            t2 = time.perf_counter()
+            _, _, ftrace = sampler.run(
+                state.params, x0, seed=seed + 9,
+                n_mh_steps=eval_steps, collect_trace=True,
+            )
+            jax.block_until_ready(ftrace)
+            fused_extra["eval_time_s_fused"] = time.perf_counter() - t2
+            fused_extra["_ftrace"] = ftrace
+
     if hasattr(target, "sigma") and np.asarray(target.sigma).ndim == 2:
         cov = np.asarray(target.sigma)
     else:
@@ -187,6 +219,13 @@ def run_target(
         cov = np.cov(samples.T)
 
     ess_l2hmc = evaluate_ess(trace, cov)
+    ftrace = fused_extra.pop("_ftrace", None)
+    if ftrace is not None:
+        fused_extra["ess_l2hmc_fused_trace"] = evaluate_ess(ftrace, cov)
+        fused_extra["fused_ess_rel_gap"] = abs(
+            fused_extra["ess_l2hmc_fused_trace"] - ess_l2hmc
+        ) / max(ess_l2hmc, 1e-12)
+        del ftrace
 
     # best-vs-best discipline (arXiv 1711.09268 §5.1 protocol; VERDICT r1
     # item 5): tune the HMC baseline's step size per target over a wide
@@ -222,6 +261,7 @@ def run_target(
         "train_time_s": train_time,
         "eval_time_s": eval_time,
         "mh_steps_per_sec_eval": eval_steps / eval_time,
+        **fused_extra,
     }
 
 

@@ -17,17 +17,17 @@ the chain axis; weights use full-array VMEM blocks. The time embedding
 ``W3^T trig(t) + b_embed`` is folded outside the kernel into one (H, T)
 array per net.
 
-Kernels in this module:
-  - FusedGaussianDynamics — single fused trajectory (fwd or bwd) for
-    quadratic-Gaussian targets (grad E = P(x-mu) is a matmul; covers the
-    SCG / tilted / ill-conditioned Gaussian benchmarks).
+Kernels in this module (all generic over an in-kernel energy spec —
+Gaussian family, rough well, GMM; see ``energy_spec_for_target``):
+  - FusedDynamics — single fused trajectory (fwd or bwd).
   - FusedChainSampler — K whole MH steps per launch (in-kernel PRNG),
     optionally emitting the full chain trace to HBM for ESS evaluation.
   - DifferentiableFusedDynamics — custom_vjp training path whose backward
     is a fused recompute+reverse kernel (ScgConfig.fused_train).
   - FusedVaeSampler — the VAE posterior sampler with the full decoder
     energy/gradient in-kernel (the MXU-scale workload).
-Everything out of scope falls back to ``Dynamics.forward/backward``.
+Everything out of scope (e.g. the funnel's clipped energy) falls back to
+``Dynamics.forward/backward``.
 
 Correctness oracle: tests/test_fused_dynamics.py checks this kernel against
 the XLA path to float tolerance (interpret mode on CPU, compiled on TPU).
@@ -237,24 +237,163 @@ def _trajectory_step(
     return x, v, ld_inc
 
 
-@functools.lru_cache(maxsize=None)
-def _make_kernel(T: int, reverse: bool):
+# -- in-kernel energy specs ----------------------------------------------------
+#
+# The trajectory / chain-sampler kernels are generic over the target's energy:
+# a spec carries the target's constant arrays (loaded into VMEM once per
+# launch) and builds (energy, grad_energy) closures on the TRANSPOSED (D, TILE)
+# layout. Gradients through a spec's closures (the differentiable training
+# path) come from jax.vjp at kernel-trace time — no hand-derived Hessians.
+
+
+@dataclasses.dataclass(frozen=True)
+class QuadraticGaussianEnergy:
+    """0.5 (x-mu)^T P (x-mu) — SCG / tilted / ill-conditioned Gaussian
+    (reference utils/distributions.py:31-68)."""
+
+    prec: np.ndarray  # (D, D)
+    mu: np.ndarray  # (D,)
+
+    def consts(self) -> list[Array]:
+        d = self.mu.shape[0]
+        return [
+            jnp.asarray(self.prec, jnp.float32),
+            jnp.asarray(self.mu, jnp.float32).reshape(d, 1),
+        ]
+
+    def build(self, vals):
+        prec, mu = vals
+
+        def grad_energy(x):
+            return jnp.dot(prec, x - mu, preferred_element_type=jnp.float32)
+
+        def energy(x):
+            d = x - mu
+            return 0.5 * jnp.sum(
+                d * jnp.dot(prec, d, preferred_element_type=jnp.float32),
+                axis=0, keepdims=True,
+            )
+
+        return energy, grad_energy
+
+
+@dataclasses.dataclass(frozen=True)
+class RoughWellEnergy:
+    """0.5 ||x||^2 + eps sum(cos(x / freq)) — the rough well
+    (utils/distributions.py:84-101). Pure elementwise; no VMEM constants."""
+
+    eps: float
+    freq: float
+
+    def consts(self) -> list[Array]:
+        return []
+
+    def build(self, vals):
+        eps, freq = float(self.eps), float(self.freq)
+
+        def energy(x):
+            e = 0.5 * jnp.square(x) + eps * jnp.cos(x * (1.0 / freq))
+            return jnp.sum(e, axis=0, keepdims=True)
+
+        def grad_energy(x):
+            return x - (eps / freq) * jnp.sin(x * (1.0 / freq))
+
+        return energy, grad_energy
+
+
+@dataclasses.dataclass(frozen=True)
+class GmmEnergy:
+    """-logsumexp_k [log_const_k - 0.5 (x-mu_k)^T P_k (x-mu_k)] — full-
+    covariance Gaussian mixture (utils/distributions.py:104-152; covers
+    gen_ring and mog2). The K components unroll statically in-kernel;
+    grad = sum_k softmax_k(x) P_k (x - mu_k)."""
+
+    mus_t: np.ndarray  # (D, K)
+    precs: np.ndarray  # (K*D, D) stacked per component
+    log_consts: np.ndarray  # (1, K)
+
+    def consts(self) -> list[Array]:
+        return [
+            jnp.asarray(self.mus_t, jnp.float32),
+            jnp.asarray(self.precs, jnp.float32),
+            jnp.asarray(self.log_consts, jnp.float32),
+        ]
+
+    def build(self, vals):
+        mus_t, precs, log_consts = vals
+        d, k = mus_t.shape
+
+        def comp_terms(x):
+            """Per-component (log-weight (1,T), P_k (x-mu_k) (D,T))."""
+            out = []
+            for i in range(k):
+                dk = x - mus_t[:, i : i + 1]
+                pd = jnp.dot(
+                    precs[i * d : (i + 1) * d, :], dk,
+                    preferred_element_type=jnp.float32,
+                )
+                quad = 0.5 * jnp.sum(dk * pd, axis=0, keepdims=True)
+                out.append((log_consts[0, i] - quad, pd))
+            return out
+
+        def energy(x):
+            terms = comp_terms(x)
+            m = terms[0][0]
+            for lw, _ in terms[1:]:
+                m = jnp.maximum(m, lw)
+            s = sum(jnp.exp(lw - m) for lw, _ in terms)
+            return -(m + jnp.log(s))
+
+        def grad_energy(x):
+            terms = comp_terms(x)
+            m = terms[0][0]
+            for lw, _ in terms[1:]:
+                m = jnp.maximum(m, lw)
+            ws = [jnp.exp(lw - m) for lw, _ in terms]
+            g = sum(w * pd for w, (_, pd) in zip(ws, terms))
+            return g / sum(ws)
+
+        return energy, grad_energy
+
+
+def energy_spec_for_target(target):
+    """Map a target distribution to its in-kernel energy spec.
+
+    Supported: Gaussian family (mu/_prec), RoughWell, GMM (ring/mog2).
+    Raises ValueError for anything else (funnel's clipped energy stays on
+    the XLA path)."""
+    prec = getattr(target, "_prec", None)
+    mu = getattr(target, "mu", None)
+    if prec is not None and mu is not None:
+        return QuadraticGaussianEnergy(np.asarray(prec), np.asarray(mu))
+    if hasattr(target, "eps") and hasattr(target, "easy"):  # RoughWell
+        freq = target.eps if target.easy else target.eps * target.eps
+        return RoughWellEnergy(float(target.eps), float(freq))
+    if hasattr(target, "_precs") and hasattr(target, "_log_consts"):  # GMM
+        mus = np.asarray(target.mus, np.float32)  # (K, D)
+        k, d = mus.shape
+        precs = np.asarray(target._precs, np.float32).reshape(k * d, d)
+        log_consts = np.asarray(target._log_consts, np.float32).reshape(1, k)
+        return GmmEnergy(mus.T.copy(), precs, log_consts)
+    raise ValueError(
+        f"no fused energy spec for target {type(target).__name__}"
+    )
+
+
+def _make_kernel(T: int, reverse: bool, spec, n_consts: int):
     """Single-trajectory kernel body; the T-step loop is unrolled at trace
     time with static step indices into the (K, T) per-step constant arrays."""
 
-    def kernel(eps_ref, prec_ref, mu_ref, masks_ref, *refs):
+    def kernel(eps_ref, masks_ref, *refs):
+        const_vals = [r[:] for r in refs[:n_consts]]
+        refs = refs[n_consts:]
         xnet_w = [r[:] for r in refs[:_NET_ARRAYS]]
         vnet_w = [r[:] for r in refs[_NET_ARRAYS : 2 * _NET_ARRAYS]]
         x_ref, v_ref = refs[2 * _NET_ARRAYS], refs[2 * _NET_ARRAYS + 1]
         xo_ref, vo_ref, ld_ref = refs[-3], refs[-2], refs[-1]
 
         eps = eps_ref[0, 0]
-        prec = prec_ref[:]  # (D, D)
-        mu = mu_ref[:]  # (D, 1)
-
-        def grad_energy(x):
-            # grad of 0.5 (x-mu)^T P (x-mu), transposed layout: P (x - mu)
-            return jnp.dot(prec, x - mu, preferred_element_type=jnp.float32)
+        _, grad_energy = spec.build(const_vals)
 
         x, v, ld = _trajectory(
             xnet_w, vnet_w, grad_energy, masks_ref[:], eps, T, reverse,
@@ -267,8 +406,8 @@ def _make_kernel(T: int, reverse: bool):
     return kernel
 
 @dataclasses.dataclass(frozen=True)
-class FusedGaussianDynamics:
-    """Fused-trajectory accelerator for a Dynamics on a Gaussian target.
+class FusedDynamics:
+    """Fused-trajectory accelerator for a Dynamics on a spec'd target.
 
     Drop-in for the inference path: ``forward(params, x, v)`` /
     ``backward(params, x, v)`` return (X, V, logdet) matching
@@ -276,8 +415,7 @@ class FusedGaussianDynamics:
     """
 
     dynamics: Dynamics
-    prec: np.ndarray  # (D, D) precision of the Gaussian target
-    mu: np.ndarray  # (D,)
+    spec: Any  # energy spec (QuadraticGaussianEnergy / RoughWellEnergy / ...)
     tile: int = 2048
     interpret: bool = False
 
@@ -294,7 +432,8 @@ class FusedGaussianDynamics:
             return fn
         dyn = self.dynamics
         d = dyn.dim
-        kernel = _make_kernel(dyn.T, reverse)
+        n_consts = len(self.spec.consts())
+        kernel = _make_kernel(dyn.T, reverse, self.spec, n_consts)
         full = pl.BlockSpec(memory_space=pltpu.VMEM)
         state_spec = pl.BlockSpec(
             (d, tile), lambda i: (0, i), memory_space=pltpu.VMEM
@@ -305,7 +444,7 @@ class FusedGaussianDynamics:
         n_weights = 2 * _NET_ARRAYS
 
         @jax.jit
-        def call(eps, prec, mu, masks, xnet_w, vnet_w, xT, vT):
+        def call(eps, masks, consts, xnet_w, vnet_w, xT, vT):
             return pl.pallas_call(
                 kernel,
                 grid=(n // tile,),
@@ -313,9 +452,8 @@ class FusedGaussianDynamics:
                     pl.BlockSpec(
                         (1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
                     ),
-                    full,  # prec
-                    full,  # mu
                     full,  # masks
+                    *([full] * n_consts),
                     *([full] * n_weights),
                     state_spec,  # x
                     state_spec,  # v
@@ -327,14 +465,13 @@ class FusedGaussianDynamics:
                     jax.ShapeDtypeStruct((1, n), jnp.float32),
                 ),
                 interpret=self.interpret,
-            )(eps, prec, mu, masks, *xnet_w, *vnet_w, xT, vT)
+            )(eps, masks, *consts, *xnet_w, *vnet_w, xT, vT)
 
         self._jit_cache[key] = call
         return call
 
     def _run(self, params, x: Array, v: Array, reverse: bool):
         dyn = self.dynamics
-        d = dyn.dim
         n = x.shape[0]
         tile = min(self.tile, n)
         if n % tile != 0:
@@ -343,12 +480,12 @@ class FusedGaussianDynamics:
         xnet_w = _extract_net(params["xnet"], dyn.times)
         vnet_w = _extract_net(params["vnet"], dyn.times)
         eps = jnp.reshape(dyn.eps(params), (1, 1))
-        prec = jnp.asarray(self.prec, jnp.float32)
-        mu = jnp.asarray(self.mu, jnp.float32).reshape(d, 1)
         masks = jnp.asarray(dyn.masks.T, jnp.float32)  # (D, T)
 
         call = self._get_callable(n, tile, reverse)
-        xo, vo, ld = call(eps, prec, mu, masks, xnet_w, vnet_w, x.T, v.T)
+        xo, vo, ld = call(
+            eps, masks, self.spec.consts(), xnet_w, vnet_w, x.T, v.T
+        )
         return xo.T, vo.T, ld[0]
 
     def forward(self, params, x, v, **kw):
@@ -362,25 +499,22 @@ class FusedGaussianDynamics:
         return self.dynamics.p_accept(params, x0, v0, x1, v1, log_jac, **kw)
 
 
-def fused_for_target(dynamics: Dynamics, target, **kw) -> FusedGaussianDynamics:
-    """Build the fused accelerator for a Gaussian-family target (must expose
-    ``mu`` and a precision matrix)."""
+# Backwards-compatible name: the Gaussian-only class this generalizes from.
+FusedGaussianDynamics = FusedDynamics
+
+
+def fused_for_target(dynamics: Dynamics, target, **kw) -> FusedDynamics:
+    """Build the fused-trajectory accelerator for any spec-supported target
+    (Gaussian family, rough well, GMM — see energy_spec_for_target)."""
     if dynamics.hmc:
         raise ValueError("fused kernel targets the trained sampler path")
-    prec = getattr(target, "_prec", None)
-    mu = getattr(target, "mu", None)
-    if prec is None or mu is None:
-        raise ValueError(
-            "fused dynamics requires a Gaussian-family target with mu/_prec"
-        )
-    return FusedGaussianDynamics(dynamics, np.asarray(prec), np.asarray(mu), **kw)
+    return FusedDynamics(dynamics, energy_spec_for_target(target), **kw)
 
 
 # -- differentiable fused trajectory (training path) --------------------------
 
 
-@functools.lru_cache(maxsize=None)
-def _make_bwd_kernel(T: int, reverse: bool, remat: bool = True):
+def _make_bwd_kernel(T: int, reverse: bool, spec, n_consts: int, remat: bool = True):
     """Backward kernel of the fused trajectory.
 
     The body calls ``jax.vjp`` per step on the SAME ``_trajectory_step``
@@ -388,14 +522,18 @@ def _make_bwd_kernel(T: int, reverse: bool, remat: bool = True):
     trace time, so Mosaic compiles one fused program containing the
     recomputed forward plus the reverse sweep, with VMEM flat in T. No
     hand-derived gradients to get wrong; the oracle is jax.grad of the XLA
-    path (tests/test_fused_dynamics.py).
+    path (tests/test_fused_dynamics.py). The spec's grad_energy closure is
+    differentiated by the same trace-time AD (its Hessian-vector products
+    are ordinary jnp ops).
 
     Weight/eps gradients are summed across chain tiles by accumulating into
     constant-index output blocks — TPU grid steps run sequentially, so the
     revisited block acts as an accumulator (init at program 0).
     """
 
-    def kernel(eps_ref, prec_ref, mu_ref, masks_ref, *refs):
+    def kernel(eps_ref, masks_ref, *refs):
+        const_vals = [r[:] for r in refs[:n_consts]]
+        refs = refs[n_consts:]
         xnet_w = [r[:] for r in refs[:_NET_ARRAYS]]
         vnet_w = [r[:] for r in refs[_NET_ARRAYS : 2 * _NET_ARRAYS]]
         base = 2 * _NET_ARRAYS
@@ -406,12 +544,8 @@ def _make_bwd_kernel(T: int, reverse: bool, remat: bool = True):
         deps_ref, dx_ref, dv_ref = outs[-3], outs[-2], outs[-1]
 
         eps = eps_ref[0, 0]
-        prec = prec_ref[:]
-        mu = mu_ref[:]
         masks = masks_ref[:]
-
-        def grad_energy(x_):
-            return jnp.dot(prec, x_ - mu, preferred_element_type=jnp.float32)
+        _, grad_energy = spec.build(const_vals)
 
         if remat:
             dxw, dvw, deps, dx, dv = _trajectory_vjp(
@@ -469,13 +603,13 @@ class DifferentiableFusedDynamics:
     (SURVEY.md §7 stage 7: fused substep "with custom_vjp for training";
     reference semantics utils/dynamics.py:115-201).
 
-    Scope: Gaussian-family targets, temperature off (asserted at build).
-    The custom_vjp boundary sits at the flat weight lists — gradients flow
-    back through ``_extract_net``'s transposes/folds and ``eps = exp(alpha)``
-    via ordinary XLA autodiff outside the kernel.
+    Scope: any spec-supported target (energy_spec_for_target), temperature
+    off (asserted at build). The custom_vjp boundary sits at the flat weight
+    lists — gradients flow back through ``_extract_net``'s transposes/folds
+    and ``eps = exp(alpha)`` via ordinary XLA autodiff outside the kernel.
     """
 
-    fused: FusedGaussianDynamics
+    fused: FusedDynamics
     bwd_remat: bool = True
     hmc: bool = dataclasses.field(default=False, init=False)
 
@@ -528,12 +662,10 @@ class DifferentiableFusedDynamics:
                     f"n_chains {n} must be divisible by tile {tile}"
                 )
             call = fused._get_callable(n, tile, reverse)
-            d = fused.dynamics.dim
             xo, vo, ld = call(
                 jnp.reshape(eps, (1, 1)),
-                jnp.asarray(fused.prec, jnp.float32),
-                jnp.asarray(fused.mu, jnp.float32).reshape(d, 1),
                 jnp.asarray(fused.dynamics.masks.T, jnp.float32),
+                fused.spec.consts(),
                 xw, vw, x.T, v.T,
             )
             return xo.T, vo.T, ld[0]
@@ -551,12 +683,10 @@ class DifferentiableFusedDynamics:
             n = x.shape[0]
             tile = min(fused.tile, n)
             call = self._get_bwd_callable(n, tile, reverse)
-            d = fused.dynamics.dim
             out = call(
                 jnp.reshape(eps, (1, 1)),
-                jnp.asarray(fused.prec, jnp.float32),
-                jnp.asarray(fused.mu, jnp.float32).reshape(d, 1),
                 jnp.asarray(fused.dynamics.masks.T, jnp.float32),
+                fused.spec.consts(),
                 xw, vw,
                 x.T, v.T, dX.T, dV.T, dld[None, :],
             )
@@ -577,7 +707,10 @@ class DifferentiableFusedDynamics:
         fused = self.fused
         dyn = fused.dynamics
         d = dyn.dim
-        kernel = _make_bwd_kernel(dyn.T, reverse, self.bwd_remat)
+        n_consts = len(fused.spec.consts())
+        kernel = _make_bwd_kernel(
+            dyn.T, reverse, fused.spec, n_consts, self.bwd_remat
+        )
         full = pl.BlockSpec(memory_space=pltpu.VMEM)
         state_spec = pl.BlockSpec(
             (d, tile), lambda i: (0, i), memory_space=pltpu.VMEM
@@ -591,7 +724,7 @@ class DifferentiableFusedDynamics:
         n_weights = 2 * _NET_ARRAYS
 
         @jax.jit
-        def call(eps, prec, mu, masks, xw, vw, xT, vT, dXT, dVT, dldT):
+        def call(eps, masks, consts, xw, vw, xT, vT, dXT, dVT, dldT):
             grad_shapes = (
                 [jax.ShapeDtypeStruct(a.shape, jnp.float32) for a in xw]
                 + [jax.ShapeDtypeStruct(a.shape, jnp.float32) for a in vw]
@@ -608,9 +741,8 @@ class DifferentiableFusedDynamics:
                     pl.BlockSpec(
                         (1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
                     ),
-                    full,  # prec
-                    full,  # mu
                     full,  # masks
+                    *([full] * n_consts),
                     *([full] * n_weights),
                     state_spec,  # x
                     state_spec,  # v
@@ -630,14 +762,14 @@ class DifferentiableFusedDynamics:
                     vmem_limit_bytes=100 * 1024 * 1024
                 ),
                 interpret=fused.interpret,
-            )(eps, prec, mu, masks, *xw, *vw, xT, vT, dXT, dVT, dldT)
+            )(eps, masks, *consts, *xw, *vw, xT, vT, dXT, dVT, dldT)
 
         self._bwd_cache[key] = call
         return call
 
 
 def differentiable_fused(dynamics: Dynamics, target, bwd_remat: bool = True, **kw):
-    """Training-path fused dynamics for a Gaussian-family target."""
+    """Training-path fused dynamics for a spec-supported target."""
     return DifferentiableFusedDynamics(
         fused_for_target(dynamics, target, **kw), bwd_remat=bwd_remat
     )
@@ -674,13 +806,16 @@ def _trace_chunk(n_mh_steps: int, max_chunk: int = 128) -> int:
     return 1
 
 
-@functools.lru_cache(maxsize=None)
-def _make_chain_kernel(T: int, n_mh_steps: int, collect_trace: bool, tile: int):
+def _make_chain_kernel(
+    T: int, n_mh_steps: int, collect_trace: bool, tile: int, spec, n_consts: int
+):
     """K Metropolis-Hastings steps of the full direction-randomized L2HMC
     sampler in ONE kernel launch: momentum/direction/accept randomness from
     the in-kernel PRNG, both trajectory directions, Hamiltonians, accept —
     all VMEM-resident. The MH loop is a fori_loop (program size stays one
     step); the T-step trajectory inside is unrolled (static mask indices).
+    The target energy + gradient come from ``spec`` (Gaussian family, rough
+    well, GMM — energy_spec_for_target).
 
     With ``collect_trace`` the post-MH state of every step is staged into a
     (chunk, D, tile) VMEM ring and DMA'd to a (K, D, N) HBM trace buffer
@@ -695,7 +830,9 @@ def _make_chain_kernel(T: int, n_mh_steps: int, collect_trace: bool, tile: int):
     statistical oracles in tests cover it).
     """
 
-    def kernel(seed_ref, eps_ref, prec_ref, mu_ref, masks_ref, *refs):
+    def kernel(seed_ref, eps_ref, masks_ref, *refs):
+        const_vals = [r[:] for r in refs[:n_consts]]
+        refs = refs[n_consts:]
         xnet_w = [r[:] for r in refs[:_NET_ARRAYS]]
         vnet_w = [r[:] for r in refs[_NET_ARRAYS : 2 * _NET_ARRAYS]]
         x_ref = refs[2 * _NET_ARRAYS]
@@ -710,20 +847,8 @@ def _make_chain_kernel(T: int, n_mh_steps: int, collect_trace: bool, tile: int):
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
 
         eps = eps_ref[0, 0]
-        prec = prec_ref[:]
-        mu = mu_ref[:]
         masks = masks_ref[:]
-
-        def grad_energy(x):
-            return jnp.dot(prec, x - mu, preferred_element_type=jnp.float32)
-
-        def energy(x):
-            d = x - mu
-            return jnp.sum(
-                d * jnp.dot(prec, d, preferred_element_type=jnp.float32),
-                axis=0,
-                keepdims=True,
-            ) * 0.5
+        energy, grad_energy = spec.build(const_vals)
 
         def kinetic(v):
             return 0.5 * jnp.sum(jnp.square(v), axis=0, keepdims=True)
@@ -794,13 +919,12 @@ class FusedChainSampler:
     ``run(params, x, seed, n_mh_steps)`` advances every chain by
     ``n_mh_steps`` direction-randomized L2HMC proposals + MH accepts and
     returns (x_final, mean acceptance per chain). Use for burn-in and
-    throughput-critical sampling; use FusedGaussianDynamics when the caller
+    throughput-critical sampling; use FusedDynamics when the caller
     needs per-step traces or JAX-keyed randomness.
     """
 
     dynamics: Dynamics
-    prec: np.ndarray
-    mu: np.ndarray
+    spec: Any  # in-kernel energy (energy_spec_for_target)
     tile: int = 2048
     interpret: bool = False
 
@@ -830,13 +954,13 @@ class FusedChainSampler:
         xnet_w = _extract_net(params["xnet"], dyn.times)
         vnet_w = _extract_net(params["vnet"], dyn.times)
         eps = jnp.reshape(dyn.eps(params), (1, 1))
-        prec = jnp.asarray(self.prec, jnp.float32)
-        mu = jnp.asarray(self.mu, jnp.float32).reshape(d, 1)
         masks = jnp.asarray(dyn.masks.T, jnp.float32)
         seed_arr = jnp.asarray([seed], jnp.int32)
 
         call = self._get_callable(n, tile, n_mh_steps, collect_trace)
-        out = call(seed_arr, eps, prec, mu, masks, xnet_w, vnet_w, x.T)
+        out = call(
+            seed_arr, eps, masks, self.spec.consts(), xnet_w, vnet_w, x.T
+        )
         if collect_trace:
             xo, acc, trace = out
             return xo.T, acc[0], jnp.swapaxes(trace, 1, 2)
@@ -852,7 +976,10 @@ class FusedChainSampler:
             return fn
         dyn = self.dynamics
         d = dyn.dim
-        kernel = _make_chain_kernel(dyn.T, n_mh_steps, collect_trace, tile)
+        n_consts = len(self.spec.consts())
+        kernel = _make_chain_kernel(
+            dyn.T, n_mh_steps, collect_trace, tile, self.spec, n_consts
+        )
         full = pl.BlockSpec(memory_space=pltpu.VMEM)
         state_spec = pl.BlockSpec(
             (d, tile), lambda i: (0, i), memory_space=pltpu.VMEM
@@ -883,7 +1010,7 @@ class FusedChainSampler:
             ]
 
         @jax.jit
-        def call(seed_arr, eps, prec, mu, masks, xnet_w, vnet_w, xT):
+        def call(seed_arr, eps, masks, consts, xnet_w, vnet_w, xT):
             return pl.pallas_call(
                 kernel,
                 grid=(n // tile,),
@@ -892,9 +1019,8 @@ class FusedChainSampler:
                     pl.BlockSpec(
                         (1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
                     ),
-                    full,  # prec
-                    full,  # mu
                     full,  # masks
+                    *([full] * n_consts),
                     *([full] * n_weights),
                     state_spec,  # x
                 ],
@@ -902,23 +1028,18 @@ class FusedChainSampler:
                 out_shape=tuple(out_shape),
                 scratch_shapes=scratch_shapes,
                 interpret=self.interpret,
-            )(seed_arr, eps, prec, mu, masks, *xnet_w, *vnet_w, xT)
+            )(seed_arr, eps, masks, *consts, *xnet_w, *vnet_w, xT)
 
         self._jit_cache[key] = call
         return call
 
 
 def fused_chain_sampler(dynamics: Dynamics, target, **kw) -> FusedChainSampler:
-    """Whole-chain fused sampler for a Gaussian-family target."""
+    """Whole-chain fused sampler for any spec-supported target
+    (Gaussian family, rough well, GMM — see energy_spec_for_target)."""
     if dynamics.hmc:
         raise ValueError("fused kernel targets the trained sampler path")
-    prec = getattr(target, "_prec", None)
-    mu = getattr(target, "mu", None)
-    if prec is None or mu is None:
-        raise ValueError(
-            "fused dynamics requires a Gaussian-family target with mu/_prec"
-        )
-    return FusedChainSampler(dynamics, np.asarray(prec), np.asarray(mu), **kw)
+    return FusedChainSampler(dynamics, energy_spec_for_target(target), **kw)
 
 
 # -- VAE posterior sampler kernel (the MXU-scale workload) ---------------------

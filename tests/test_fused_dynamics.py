@@ -55,12 +55,79 @@ def test_fused_rejects_bad_tile(setup):
         bad.forward(params, x, v)
 
 
-def test_fused_rejects_non_gaussian():
+def test_fused_rejects_unsupported_target():
+    """The funnel's clipped energy has no in-kernel spec — XLA fallback."""
     cfg = ScgConfig(n_chains=64, T=2)
     dyn, _ = build_dynamics(cfg)
-    rw = targets.RoughWell(dim=2, eps=0.1)
-    with pytest.raises(ValueError, match="Gaussian"):
-        fused_for_target(dyn, rw)
+    with pytest.raises(ValueError, match="no fused energy spec"):
+        fused_for_target(dyn, targets.GaussianFunnel(dim=4))
+
+
+def _build_for(target, T=3, seed=0):
+    dyn = build_dynamics(ScgConfig(dim=target.dim, n_chains=128, T=T),
+                         target)[0]
+    params = dyn.init_params(jax.random.key(seed), eps=0.1)
+    return dyn, params
+
+
+@pytest.mark.parametrize(
+    "target",
+    [
+        targets.RoughWell(dim=10, eps=0.1, easy=True),
+        targets.gen_ring(r=2.0, var=0.1, nb_mixtures=4),
+        targets.mog2(distance=4.0, var=0.1),
+    ],
+    ids=["rough_well_easy", "ring", "mog2"],
+)
+def test_fused_specs_match_xla(target):
+    """Non-Gaussian energy specs: fused trajectory == XLA trajectory.
+
+    Uses the EASY rough well (freq = eps): the hard mode's sin(x/eps^2) at
+    O(100)-radian arguments is float32-chaotic — a 1e-6 input perturbation
+    amplifies ~1e3x over T=3 steps (measured), so exact parity is only
+    meaningful at moderate frequencies; the hard mode is covered by the
+    statistical suite cross-check (apps/suite.py fused eval)."""
+    dyn, params = _build_for(target)
+    fused = fused_for_target(dyn, target, tile=64, interpret=True)
+    x = target.sample(jax.random.key(1), 128)
+    v = jax.random.normal(jax.random.key(2), x.shape, jnp.float32)
+    for direction in ("forward", "backward"):
+        Xr, Vr, ldr = getattr(dyn, direction)(params, x, v)
+        Xf, Vf, ldf = getattr(fused, direction)(params, x, v)
+        np.testing.assert_allclose(np.asarray(Xf), np.asarray(Xr), rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(Vf), np.asarray(Vr), rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(ldf), np.asarray(ldr), rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize(
+    "target",
+    [
+        targets.RoughWell(dim=10, eps=0.1, easy=True),
+        targets.gen_ring(r=2.0, var=0.1, nb_mixtures=4),
+    ],
+    ids=["rough_well_easy", "ring"],
+)
+def test_fused_chain_sampler_specs(target):
+    """Zero-bits deterministic whole-chain parity for the new specs (same
+    schedule as test_fused_chain_sampler_exact_parity)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from l2hmc_tpu.ops import fused_chain_sampler
+
+    dyn, params = _build_for(target)
+    sampler = fused_chain_sampler(dyn, target, tile=64)
+    x0 = target.sample(jax.random.key(1), 128)
+    n_steps = 3
+    with pltpu.force_tpu_interpret_mode():
+        x1, acc = sampler.run(params, x0, seed=7, n_mh_steps=n_steps)
+    np.testing.assert_array_equal(np.asarray(acc), 1.0)
+    v_const = jnp.full_like(x0, float(np.sqrt(-2.0 * np.log(1e-7))))
+    x = x0
+    for _ in range(n_steps):
+        x, _, _ = dyn.forward(params, x, v_const)
+    np.testing.assert_allclose(
+        np.asarray(x1), np.asarray(x), rtol=2e-4, atol=2e-4
+    )
 
 
 def test_fused_chain_sampler_exact_parity(setup):
