@@ -998,7 +998,7 @@ class FusedChainSampler:
         if collect_trace:
             # whole trace stays in HBM; the kernel DMAs each step's state
             # into its chain-column slice from a VMEM scratch slot
-            out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+            out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
             out_shape.append(
                 jax.ShapeDtypeStruct((n_mh_steps, d, n), jnp.float32)
             )
