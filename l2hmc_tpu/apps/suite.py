@@ -88,6 +88,7 @@ _GLOBAL_DEFAULTS: dict = {
     # suite we evaluate the strongest intermediate sampler
     "select_best": True,
     "eps_trainable": True,
+    "eps_dim": False,
     "z_burn_in_loss": True,
     "whiten_loss": False,
     "scale": 0.1,  # the notebook's mixed-loss scale (cell 9)
@@ -157,6 +158,7 @@ def run_target(
         grad_clip=grad_clip,
         select_best=select_best,
         eps_trainable=eps_trainable,
+        eps_dim=eff["eps_dim"],
         z_burn_in_loss=eff["z_burn_in_loss"],
         whiten_loss=eff["whiten_loss"],
         scale=eff["scale"],

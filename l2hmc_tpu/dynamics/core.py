@@ -102,6 +102,14 @@ class Dynamics:
       eps_trainable: whether alpha = log(eps) receives gradients
         (utils/dynamics.py:49-58). Implemented with stop_gradient so the
         param pytree shape is mode-independent.
+      eps_dim: per-DIMENSION trainable step size — alpha has shape (dim,)
+        and eps = exp(alpha) broadcasts elementwise through every update,
+        acting as a learned diagonal preconditioner (step-size analog of an
+        HMC mass matrix). Rebuild-only extension: the reference's eps is a
+        scalar (utils/dynamics.py:49-58). Invertibility and the diagonal
+        log-det-Jacobian hold per-dimension unchanged (the eps factors sit
+        in the shift terms and the exp(eps*s) diagonal scalings exactly as
+        before). Fused Pallas kernels require scalar eps.
       use_temperature: divide energy by a runtime temperature
         (utils/dynamics.py:203-212); off in all reference drivers but kept —
         the paper anneals temperature.
@@ -115,6 +123,7 @@ class Dynamics:
     vnet: Optional[Module] = None
     hmc: bool = False
     eps_trainable: bool = True
+    eps_dim: bool = False
     use_temperature: bool = False
     mask_seed: int = 0
 
@@ -127,8 +136,13 @@ class Dynamics:
     # -- params ------------------------------------------------------------
 
     def init_params(self, key: Array, eps: float = 0.1) -> Params:
-        """{"alpha": log eps, "xnet": ..., "vnet": ...} pytree."""
+        """{"alpha": log eps, "xnet": ..., "vnet": ...} pytree.
+
+        With ``eps_dim`` alpha is (dim,) — every dimension starts at the
+        same ``eps`` and differentiates during training."""
         alpha = jnp.asarray(np.log(eps), jnp.float32)
+        if self.eps_dim:
+            alpha = jnp.full((self.dim,), alpha, jnp.float32)
         if self.hmc:
             return {"alpha": alpha, "xnet": (), "vnet": ()}
         kx, kv = jax.random.split(key)

@@ -508,6 +508,8 @@ def fused_for_target(dynamics: Dynamics, target, **kw) -> FusedDynamics:
     (Gaussian family, rough well, GMM — see energy_spec_for_target)."""
     if dynamics.hmc:
         raise ValueError("fused kernel targets the trained sampler path")
+    if dynamics.eps_dim:
+        raise ValueError("fused kernels support scalar eps only")
     return FusedDynamics(dynamics, energy_spec_for_target(target), **kw)
 
 
@@ -798,8 +800,17 @@ def _random_normal(shape):
     return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * jnp.pi * u2)
 
 
-def _trace_chunk(n_mh_steps: int, max_chunk: int = 128) -> int:
-    """Largest divisor of n_mh_steps that is <= max_chunk (ring size)."""
+def _trace_chunk(
+    n_mh_steps: int, max_chunk: int = 128, row_bytes: int = 0,
+    budget_bytes: int = 24 * 1024 * 1024,
+) -> int:
+    """Largest divisor of n_mh_steps that is <= max_chunk (ring size).
+
+    With ``row_bytes`` (bytes per ring slot, d_pad * tile * 4) the ring is
+    additionally capped to ``budget_bytes`` of VMEM — at dim 50 / tile 2048
+    a 125-slot ring would be 57 MB, far past scoped-VMEM limits."""
+    if row_bytes > 0:
+        max_chunk = min(max_chunk, max(budget_bytes // row_bytes, 1))
     for c in range(min(max_chunk, n_mh_steps), 0, -1):
         if n_mh_steps % c == 0:
             return c
@@ -840,7 +851,7 @@ def _make_chain_kernel(
             xo_ref, acc_ref, trace_ref = refs[-5], refs[-4], refs[-3]
             scratch_ref, dma_sem = refs[-2], refs[-1]
             col0 = pl.program_id(0) * tile
-            chunk = _trace_chunk(n_mh_steps)
+            chunk = scratch_ref.shape[0]  # ring size (see _trace_chunk)
         else:
             xo_ref, acc_ref = refs[-2], refs[-1]
 
@@ -879,7 +890,20 @@ def _make_chain_kernel(
         def mh_step_traced(step, carry):
             x_new, acc_count = mh_step(step, carry)
             slot = step % chunk
-            scratch_ref[slot] = x_new
+            d = x_new.shape[0]
+            d_pad = scratch_ref.shape[1]
+            if d_pad > d:
+                # the HBM trace memref is (8, 128)-tiled on its last two
+                # dims; a DMA slice of an unaligned sublane extent (e.g.
+                # dim 50) fails Mosaic compilation, so the state dim is
+                # zero-padded to the tile boundary and sliced off host-side
+                x_store = jnp.concatenate(
+                    [x_new, jnp.zeros((d_pad - d, x_new.shape[1]), x_new.dtype)],
+                    axis=0,
+                )
+            else:
+                x_store = x_new
+            scratch_ref[slot] = x_store
             # flush the full ring once per chunk (blocking wait: one DMA per
             # `chunk` steps is noise next to chunk * trajectory compute)
             @pl.when(slot == chunk - 1)
@@ -963,7 +987,7 @@ class FusedChainSampler:
         )
         if collect_trace:
             xo, acc, trace = out
-            return xo.T, acc[0], jnp.swapaxes(trace, 1, 2)
+            return xo.T, acc[0], jnp.swapaxes(trace[:, :d, :], 1, 2)
         xo, acc = out
         return xo.T, acc[0]
 
@@ -997,17 +1021,28 @@ class FusedChainSampler:
         scratch_shapes = []
         if collect_trace:
             # whole trace stays in HBM; the kernel DMAs each step's state
-            # into its chain-column slice from a VMEM scratch slot
+            # into its chain-column slice from a VMEM scratch slot. The
+            # state dim is padded to the (8, 128) sublane tile when it
+            # exceeds one tile and is unaligned (Mosaic rejects unaligned
+            # DMA slice extents; run() strips the padding).
+            d_pad = d if d <= 8 else -(-d // 8) * 8
             out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
             out_shape.append(
-                jax.ShapeDtypeStruct((n_mh_steps, d, n), jnp.float32)
+                jax.ShapeDtypeStruct((n_mh_steps, d_pad, n), jnp.float32)
             )
+            chunk = _trace_chunk(n_mh_steps, row_bytes=d_pad * tile * 4)
             scratch_shapes = [
-                pltpu.VMEM(
-                    (_trace_chunk(n_mh_steps), d, tile), jnp.float32
-                ),
+                pltpu.VMEM((chunk, d_pad, tile), jnp.float32),
                 pltpu.SemaphoreType.DMA(()),
             ]
+
+        kw = {}
+        if collect_trace:
+            # the trace ring + trajectory stack exceed the 16 MB default
+            # scoped-VMEM cap at wide dims (v5e has 128 MB physical)
+            kw["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            )
 
         @jax.jit
         def call(seed_arr, eps, masks, consts, xnet_w, vnet_w, xT):
@@ -1028,6 +1063,7 @@ class FusedChainSampler:
                 out_shape=tuple(out_shape),
                 scratch_shapes=scratch_shapes,
                 interpret=self.interpret,
+                **kw,
             )(seed_arr, eps, masks, *consts, *xnet_w, *vnet_w, xT)
 
         self._jit_cache[key] = call
@@ -1039,6 +1075,8 @@ def fused_chain_sampler(dynamics: Dynamics, target, **kw) -> FusedChainSampler:
     (Gaussian family, rough well, GMM — see energy_spec_for_target)."""
     if dynamics.hmc:
         raise ValueError("fused kernel targets the trained sampler path")
+    if dynamics.eps_dim:
+        raise ValueError("fused kernels support scalar eps only")
     return FusedChainSampler(dynamics, energy_spec_for_target(target), **kw)
 
 

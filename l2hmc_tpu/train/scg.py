@@ -52,6 +52,10 @@ class ScgConfig:
     # acceptance never recovers; freezing eps keeps the baseline integrator
     # stable while the S/T/Q nets learn per-dimension scaling.
     eps_trainable: bool = True
+    # per-dimension trainable step size (Dynamics.eps_dim): a learned
+    # diagonal preconditioner. Rebuild-only extension — the reference eps is
+    # scalar — so suite numbers keep it off unless explicitly noted.
+    eps_dim: bool = False
     # include the notebook's auxiliary burn-in term (fresh z ~ N(0, I)
     # proposals, cell 9). On wide-scale targets (paper ICG, sigma up to 10)
     # the z-chains start far outside the typical set; their distance term
@@ -119,6 +123,7 @@ def build_dynamics(config: ScgConfig, target=None) -> tuple[Dynamics, Any]:
         vnet=vnet,
         mask_seed=config.mask_seed,
         eps_trainable=config.eps_trainable,
+        eps_dim=config.eps_dim,
         use_temperature=config.init_temperature > 1.0,
     )
     return dyn, target
@@ -210,7 +215,8 @@ def make_train_step(
         metrics = {
             "loss": loss,
             "p_accept": jnp.mean(px),
-            "eps": dynamics.eps(params),
+            # mean over dims when eps_dim (keeps the metric a scalar)
+            "eps": jnp.mean(dynamics.eps(params)),
             "temperature": temperature,
         }
         return new_state, metrics

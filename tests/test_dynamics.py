@@ -175,6 +175,53 @@ def test_eps_gradient_gating(key):
             assert float(jnp.abs(g["alpha"])) == 0.0
 
 
+def test_eps_dim_vector_step_size(key):
+    """Per-dimension eps (rebuild-only diagonal preconditioner): alpha is
+    (dim,), invertibility and analytic-vs-autodiff logdet hold per-dim, and
+    each dimension's alpha receives its own gradient."""
+    dim, T = 3, 4
+    dyn = _make_dynamics(dim=dim, T=T, eps_dim=True)
+    params = dyn.init_params(key, eps=0.1)
+    assert params["alpha"].shape == (dim,)
+    # distinct per-dim step sizes so the test exercises real anisotropy
+    params = dict(params, alpha=params["alpha"] + jnp.asarray([0.0, 0.4, -0.6]))
+
+    kx, kv = jax.random.split(key)
+    x = jax.random.normal(kx, (8, dim))
+    v = jax.random.normal(kv, (8, dim))
+    X, V, ld_f = dyn.forward(params, x, v)
+    x2, v2, ld_b = dyn.backward(params, X, V)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ld_f + ld_b), 0.0, atol=1e-5)
+
+    # logdet oracle on the flattened (x, v) map
+    x0 = jax.random.normal(kx, (1, dim), jnp.float64)
+    v0 = jax.random.normal(kv, (1, dim), jnp.float64)
+
+    def flat_map(xv):
+        xx, vv = xv[:dim][None], xv[dim:][None]
+        XX, VV, _ = dyn.forward(params, xx, vv)
+        return jnp.concatenate([XX[0], VV[0]])
+
+    J = jax.jacfwd(flat_map)(jnp.concatenate([x0[0], v0[0]]))
+    sign, logdet_auto = jnp.linalg.slogdet(J)
+    _, _, logdet_analytic = dyn.forward(params, x0, v0)
+    assert float(sign) > 0
+    np.testing.assert_allclose(
+        float(logdet_analytic[0]), float(logdet_auto), rtol=1e-4, atol=1e-5
+    )
+
+    # every dimension's alpha gets a gradient
+    def loss(p):
+        XX, _, ld = dyn.forward(p, x, v)
+        return jnp.sum(XX**2) + jnp.sum(ld)
+
+    g = jax.grad(loss)(params)
+    assert g["alpha"].shape == (dim,)
+    assert all(float(abs(gi)) > 0 for gi in g["alpha"])
+
+
 def test_temperature_scaling(key):
     dyn = _make_dynamics(T=2, hmc=True, use_temperature=True)
     params = dyn.init_params(key, eps=0.1)
