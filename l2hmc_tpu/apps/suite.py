@@ -52,7 +52,12 @@ def _target_registry() -> dict[str, Callable]:
 # - icg (50-d): hidden=10 is too small; scale the net with the dimension.
 # - funnel: the neck needs a small step size to keep acceptance alive.
 _TARGET_OVERRIDES: dict[str, dict] = {
-    "scg": {},
+    # whitened per-dim ESJD + per-dimension eps: recovers the best-vs-best
+    # win against the stability-edge HMC grid (measured: ESS 0.287, 3.3x
+    # best-vs-best / 51.5x at reference eps, vs 0.6x best-vs-best with the
+    # raw notebook loss — variant_results.json). bench.py keeps the raw
+    # notebook recipe for reference-protocol parity.
+    "scg": {"whiten_loss": True, "eps_dim": True},
     # whitened x-only ESJD is load-bearing on the paper-conditioned target:
     # the raw joint loss is gamed into acceptance collapse (icg_round2/3
     # sweeps; ScgConfig docstrings). Measured: 7.9x best-vs-best at these
