@@ -189,10 +189,10 @@ def run_target(
 
     # fused single-launch eval (trace-emitting Pallas chain kernel): run it
     # alongside the XLA-keyed protocol eval wherever the target has an
-    # in-kernel energy spec. The XLA ESS stays the scored number (protocol
-    # stability across rounds); the fused ESS is recorded as a statistical
-    # cross-check plus the single-launch eval time. TPU only — the
-    # interpreter would be slower than XLA on CPU.
+    # in-kernel energy spec (all six suite targets). The XLA ESS stays the
+    # scored number (protocol stability across rounds); the fused ESS is
+    # recorded as a statistical cross-check plus the single-launch eval
+    # time. TPU only — the interpreter would be slower than XLA on CPU.
     fused_extra = {}
     if jax.default_backend() == "tpu":
         try:

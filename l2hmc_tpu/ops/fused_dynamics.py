@@ -26,8 +26,7 @@ Gaussian family, rough well, GMM; see ``energy_spec_for_target``):
     is a fused recompute+reverse kernel (ScgConfig.fused_train).
   - FusedVaeSampler — the VAE posterior sampler with the full decoder
     energy/gradient in-kernel (the MXU-scale workload).
-Everything out of scope (e.g. the funnel's clipped energy) falls back to
-``Dynamics.forward/backward``.
+Targets without a spec fall back to ``Dynamics.forward/backward``.
 
 Correctness oracle: tests/test_fused_dynamics.py checks this kernel against
 the XLA path to float tolerance (interpret mode on CPU, compiled on TPU).
@@ -356,12 +355,58 @@ class GmmEnergy:
         return energy, grad_energy
 
 
+@dataclasses.dataclass(frozen=True)
+class FunnelEnergy:
+    """Gaussian funnel with the reference's clipped energy
+    (utils/distributions.py:155-198; targets/funnel.py). Row 0 is the
+    funnel variable v, rows 1.. are the neck; all elementwise, no VMEM
+    constants. The clip makes the v-gradient piecewise (zero d/dv through
+    the saturated exp), matching jax.grad of the clamped energy."""
+
+    sigma: float
+    clip: float
+    dim: int
+
+    def consts(self) -> list[Array]:
+        return []
+
+    def build(self, vals):
+        sigma2 = float(self.sigma) ** 2
+        c = float(self.clip)
+        n = float(self.dim - 1)
+
+        def parts(x):
+            v = x[0:1, :]
+            w = jnp.clip(v, -c, c)
+            inv_s = jnp.exp(-w)
+            row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+            not_v = (row != 0).astype(x.dtype)
+            sum_sq = jnp.sum(jnp.square(x) * not_v, axis=0, keepdims=True)
+            return v, w, inv_s, not_v, sum_sq
+
+        def energy(x):
+            v, w, inv_s, _, sum_sq = parts(x)
+            return 0.5 * (
+                jnp.square(v) / sigma2
+                + sum_sq * inv_s
+                + n * (jnp.log(2.0 * jnp.pi) + w)
+            )
+
+        def grad_energy(x):
+            v, w, inv_s, not_v, sum_sq = parts(x)
+            inside = ((v > -c) & (v < c)).astype(x.dtype)
+            g_v = v / sigma2 + 0.5 * inside * (n - sum_sq * inv_s)
+            g_rest = x * inv_s
+            return jnp.where(not_v > 0, g_rest, g_v)
+
+        return energy, grad_energy
+
+
 def energy_spec_for_target(target):
     """Map a target distribution to its in-kernel energy spec.
 
-    Supported: Gaussian family (mu/_prec), RoughWell, GMM (ring/mog2).
-    Raises ValueError for anything else (funnel's clipped energy stays on
-    the XLA path)."""
+    Supported: Gaussian family (mu/_prec), RoughWell, GMM (ring/mog2),
+    GaussianFunnel — the full suite. Raises ValueError otherwise."""
     prec = getattr(target, "_prec", None)
     mu = getattr(target, "mu", None)
     if prec is not None and mu is not None:
@@ -375,6 +420,8 @@ def energy_spec_for_target(target):
         precs = np.asarray(target._precs, np.float32).reshape(k * d, d)
         log_consts = np.asarray(target._log_consts, np.float32).reshape(1, k)
         return GmmEnergy(mus.T.copy(), precs, log_consts)
+    if hasattr(target, "clip") and hasattr(target, "sigma"):  # GaussianFunnel
+        return FunnelEnergy(float(target.sigma), float(target.clip), target.dim)
     raise ValueError(
         f"no fused energy spec for target {type(target).__name__}"
     )
@@ -825,8 +872,8 @@ def _make_chain_kernel(
     the in-kernel PRNG, both trajectory directions, Hamiltonians, accept —
     all VMEM-resident. The MH loop is a fori_loop (program size stays one
     step); the T-step trajectory inside is unrolled (static mask indices).
-    The target energy + gradient come from ``spec`` (Gaussian family, rough
-    well, GMM — energy_spec_for_target).
+    The target energy + gradient come from ``spec``
+    (energy_spec_for_target).
 
     With ``collect_trace`` the post-MH state of every step is staged into a
     (chunk, D, tile) VMEM ring and DMA'd to a (K, D, N) HBM trace buffer

@@ -56,11 +56,18 @@ def test_fused_rejects_bad_tile(setup):
 
 
 def test_fused_rejects_unsupported_target():
-    """The funnel's clipped energy has no in-kernel spec — XLA fallback."""
+    """A target with no recognizable structure falls back to XLA."""
+
+    class Opaque:
+        dim = 2
+
+        def energy(self, x, **kw):
+            return (x**4).sum(1)
+
     cfg = ScgConfig(n_chains=64, T=2)
     dyn, _ = build_dynamics(cfg)
     with pytest.raises(ValueError, match="no fused energy spec"):
-        fused_for_target(dyn, targets.GaussianFunnel(dim=4))
+        fused_for_target(dyn, Opaque())
 
 
 def _build_for(target, T=3, seed=0):
@@ -76,8 +83,9 @@ def _build_for(target, T=3, seed=0):
         targets.RoughWell(dim=10, eps=0.1, easy=True),
         targets.gen_ring(r=2.0, var=0.1, nb_mixtures=4),
         targets.mog2(distance=4.0, var=0.1),
+        targets.GaussianFunnel(dim=6),
     ],
-    ids=["rough_well_easy", "ring", "mog2"],
+    ids=["rough_well_easy", "ring", "mog2", "funnel"],
 )
 def test_fused_specs_match_xla(target):
     """Non-Gaussian energy specs: fused trajectory == XLA trajectory.
