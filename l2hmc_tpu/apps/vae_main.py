@@ -67,6 +67,8 @@ def main(argv=None):
     dataset = data_lib.get_data()
     if dataset.is_synthetic:
         print("WARNING: MNIST not found; training on synthetic data")
+    elif dataset.source != "mnist":
+        print(f"NOTE: MNIST not found; training on real data: {dataset.source}")
 
     model, state, last = vae.train(cfg, dataset, logdir=logdir)
     print("final:", json.dumps({k: float(v) for k, v in last.items()}))
@@ -74,6 +76,7 @@ def main(argv=None):
     results = {
         "hparams": dataclasses.asdict(cfg),
         "synthetic_data": bool(dataset.is_synthetic),
+        "data_source": dataset.source,
         "final_train_metrics": {k: float(v) for k, v in last.items()},
         "ais_log_likelihood": {},
     }

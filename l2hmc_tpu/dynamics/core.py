@@ -109,7 +109,8 @@ class Dynamics:
         scalar (utils/dynamics.py:49-58). Invertibility and the diagonal
         log-det-Jacobian hold per-dimension unchanged (the eps factors sit
         in the shift terms and the exp(eps*s) diagonal scalings exactly as
-        before). Fused Pallas kernels require scalar eps.
+        before). Fused Pallas kernels carry eps as a (dim, 1) VMEM column,
+        so scalar and per-dim eps share one kernel code path.
       use_temperature: divide energy by a runtime temperature
         (utils/dynamics.py:203-212); off in all reference drivers but kept —
         the paper anneals temperature.

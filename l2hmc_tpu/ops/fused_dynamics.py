@@ -427,6 +427,19 @@ def energy_spec_for_target(target):
     )
 
 
+def _eps_col(eps, dim: int):
+    """Kernel-layout step size: scalar or (dim,) eps -> a (dim, 1) column.
+
+    Per-dimension eps (Dynamics.eps_dim) broadcasts elementwise over the
+    transposed (D, TILE) state exactly as the XLA path's (dim,) eps does
+    over (n, dim); a scalar is pre-broadcast so every kernel compiles one
+    code path. The broadcast is differentiable (its transpose is a sum),
+    so the custom_vjp training path returns correct scalar-eps gradients."""
+    return jnp.broadcast_to(jnp.asarray(eps, jnp.float32), (dim,)).reshape(
+        dim, 1
+    )
+
+
 def _make_kernel(T: int, reverse: bool, spec, n_consts: int):
     """Single-trajectory kernel body; the T-step loop is unrolled at trace
     time with static step indices into the (K, T) per-step constant arrays."""
@@ -439,7 +452,7 @@ def _make_kernel(T: int, reverse: bool, spec, n_consts: int):
         x_ref, v_ref = refs[2 * _NET_ARRAYS], refs[2 * _NET_ARRAYS + 1]
         xo_ref, vo_ref, ld_ref = refs[-3], refs[-2], refs[-1]
 
-        eps = eps_ref[0, 0]
+        eps = eps_ref[:]  # (D, 1) column; scalar eps is pre-broadcast
         _, grad_energy = spec.build(const_vals)
 
         x, v, ld = _trajectory(
@@ -496,9 +509,7 @@ class FusedDynamics:
                 kernel,
                 grid=(n // tile,),
                 in_specs=[
-                    pl.BlockSpec(
-                        (1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
-                    ),
+                    full,  # eps (D, 1)
                     full,  # masks
                     *([full] * n_consts),
                     *([full] * n_weights),
@@ -526,7 +537,7 @@ class FusedDynamics:
 
         xnet_w = _extract_net(params["xnet"], dyn.times)
         vnet_w = _extract_net(params["vnet"], dyn.times)
-        eps = jnp.reshape(dyn.eps(params), (1, 1))
+        eps = _eps_col(dyn.eps(params), dyn.dim)
         masks = jnp.asarray(dyn.masks.T, jnp.float32)  # (D, T)
 
         call = self._get_callable(n, tile, reverse)
@@ -555,8 +566,6 @@ def fused_for_target(dynamics: Dynamics, target, **kw) -> FusedDynamics:
     (Gaussian family, rough well, GMM — see energy_spec_for_target)."""
     if dynamics.hmc:
         raise ValueError("fused kernel targets the trained sampler path")
-    if dynamics.eps_dim:
-        raise ValueError("fused kernels support scalar eps only")
     return FusedDynamics(dynamics, energy_spec_for_target(target), **kw)
 
 
@@ -592,7 +601,7 @@ def _make_bwd_kernel(T: int, reverse: bool, spec, n_consts: int, remat: bool = T
         dvw_refs = outs[_NET_ARRAYS : 2 * _NET_ARRAYS]
         deps_ref, dx_ref, dv_ref = outs[-3], outs[-2], outs[-1]
 
-        eps = eps_ref[0, 0]
+        eps = eps_ref[:]  # (D, 1)
         masks = masks_ref[:]
         _, grad_energy = spec.build(const_vals)
 
@@ -622,7 +631,7 @@ def _make_bwd_kernel(T: int, reverse: bool, spec, n_consts: int, remat: bool = T
         pid = pl.program_id(0)
         for ref, g in zip(
             list(dxw_refs) + list(dvw_refs) + [deps_ref],
-            list(dxw) + list(dvw) + [jnp.reshape(deps, (1, 1))],
+            list(dxw) + list(dvw) + [deps],
         ):
             _accumulate(ref, g, pid)
 
@@ -692,7 +701,9 @@ class DifferentiableFusedDynamics:
         dyn = self.fused.dynamics
         xw = _extract_net(params["xnet"], dyn.times)
         vw = _extract_net(params["vnet"], dyn.times)
-        eps = dyn.eps(params)
+        # the differentiable boundary takes the (D, 1) kernel-layout eps;
+        # scalar-eps gradients flow back through the broadcast's transpose
+        eps = _eps_col(dyn.eps(params), dyn.dim)
         return self._traj(reverse)(xw, vw, eps, x, v)
 
     # -- custom_vjp plumbing ---------------------------------------------------
@@ -712,7 +723,7 @@ class DifferentiableFusedDynamics:
                 )
             call = fused._get_callable(n, tile, reverse)
             xo, vo, ld = call(
-                jnp.reshape(eps, (1, 1)),
+                eps,
                 jnp.asarray(fused.dynamics.masks.T, jnp.float32),
                 fused.spec.consts(),
                 xw, vw, x.T, v.T,
@@ -733,7 +744,7 @@ class DifferentiableFusedDynamics:
             tile = min(fused.tile, n)
             call = self._get_bwd_callable(n, tile, reverse)
             out = call(
-                jnp.reshape(eps, (1, 1)),
+                eps,
                 jnp.asarray(fused.dynamics.masks.T, jnp.float32),
                 fused.spec.consts(),
                 xw, vw,
@@ -742,7 +753,7 @@ class DifferentiableFusedDynamics:
             dxw = list(out[:_NET_ARRAYS])
             dvw = list(out[_NET_ARRAYS : 2 * _NET_ARRAYS])
             deps, dxT, dvT = out[-3], out[-2], out[-1]
-            return dxw, dvw, jnp.reshape(deps, ()), dxT.T, dvT.T
+            return dxw, dvw, deps, dxT.T, dvT.T
 
         traj.defvjp(traj_fwd, traj_bwd)
         self._traj_cache[reverse] = traj
@@ -778,7 +789,7 @@ class DifferentiableFusedDynamics:
                 [jax.ShapeDtypeStruct(a.shape, jnp.float32) for a in xw]
                 + [jax.ShapeDtypeStruct(a.shape, jnp.float32) for a in vw]
                 + [
-                    jax.ShapeDtypeStruct((1, 1), jnp.float32),  # deps
+                    jax.ShapeDtypeStruct((d, 1), jnp.float32),  # deps
                     jax.ShapeDtypeStruct((d, n), jnp.float32),  # dx
                     jax.ShapeDtypeStruct((d, n), jnp.float32),  # dv
                 ]
@@ -787,9 +798,7 @@ class DifferentiableFusedDynamics:
                 kernel,
                 grid=(n // tile,),
                 in_specs=[
-                    pl.BlockSpec(
-                        (1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
-                    ),
+                    full,  # eps (D, 1)
                     full,  # masks
                     *([full] * n_consts),
                     *([full] * n_weights),
@@ -904,7 +913,7 @@ def _make_chain_kernel(
 
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
 
-        eps = eps_ref[0, 0]
+        eps = eps_ref[:]  # (D, 1)
         masks = masks_ref[:]
         energy, grad_energy = spec.build(const_vals)
 
@@ -1024,7 +1033,7 @@ class FusedChainSampler:
 
         xnet_w = _extract_net(params["xnet"], dyn.times)
         vnet_w = _extract_net(params["vnet"], dyn.times)
-        eps = jnp.reshape(dyn.eps(params), (1, 1))
+        eps = _eps_col(dyn.eps(params), dyn.dim)
         masks = jnp.asarray(dyn.masks.T, jnp.float32)
         seed_arr = jnp.asarray([seed], jnp.int32)
 
@@ -1098,9 +1107,7 @@ class FusedChainSampler:
                 grid=(n // tile,),
                 in_specs=[
                     pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,)
-                    pl.BlockSpec(
-                        (1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
-                    ),
+                    full,  # eps (D, 1)
                     full,  # masks
                     *([full] * n_consts),
                     *([full] * n_weights),
@@ -1122,8 +1129,6 @@ def fused_chain_sampler(dynamics: Dynamics, target, **kw) -> FusedChainSampler:
     (Gaussian family, rough well, GMM — see energy_spec_for_target)."""
     if dynamics.hmc:
         raise ValueError("fused kernel targets the trained sampler path")
-    if dynamics.eps_dim:
-        raise ValueError("fused kernels support scalar eps only")
     return FusedChainSampler(dynamics, energy_spec_for_target(target), **kw)
 
 
@@ -1156,7 +1161,7 @@ def _make_vae_chain_kernel(T: int, n_mh_steps: int):
 
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
 
-        eps = eps_ref[0, 0]
+        eps = eps_ref[:]  # (D, 1)
         masks = masks_ref[:]
         A1, B1 = a1[:], b1[:]
         A2, B2 = a2[:], b2[:]
@@ -1264,7 +1269,7 @@ class FusedVaeSampler:
 
         xnet_w = _extract_net(smp_params["xnet"], dyn.times)
         vnet_w = _extract_net(smp_params["vnet"], dyn.times)
-        eps = jnp.reshape(dyn.eps(smp_params), (1, 1))
+        eps = _eps_col(dyn.eps(smp_params), dyn.dim)
         masks = jnp.asarray(dyn.masks.T, jnp.float32)
         seed_arr = jnp.asarray([seed], jnp.int32)
 
@@ -1309,9 +1314,7 @@ class FusedVaeSampler:
                 grid=(n // tile,),
                 in_specs=[
                     pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,)
-                    pl.BlockSpec(
-                        (1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
-                    ),
+                    full,  # eps (D, 1)
                     full,  # masks
                     *([full] * 6),  # decoder
                     *([full] * n_weights),

@@ -253,6 +253,75 @@ def test_fused_train_matches_xla_training():
     )
 
 
+def test_fused_eps_dim_parity():
+    """Per-dimension eps (Dynamics.eps_dim): the fused kernel's (D, 1) eps
+    column must reproduce the XLA path's (dim,) broadcast — trajectories,
+    logdet, and custom_vjp gradients (including d/d alpha, now a vector)."""
+    from l2hmc_tpu.ops.fused_dynamics import (
+        DifferentiableFusedDynamics, fused_for_target,
+    )
+
+    cfg = ScgConfig(n_chains=128, T=3, eps_dim=True)
+    dyn, target = build_dynamics(cfg)
+    assert dyn.eps_dim
+    params = dyn.init_params(jax.random.key(0), eps=0.1)
+    # distinct per-dim step sizes so a scalar-eps bug cannot pass
+    params["alpha"] = jnp.log(jnp.asarray([0.05, 0.2], jnp.float32))
+    x = jax.random.normal(jax.random.key(1), (128, 2), jnp.float32)
+    v = jax.random.normal(jax.random.key(2), (128, 2), jnp.float32)
+
+    fused = fused_for_target(dyn, target, tile=64, interpret=True)
+    for direction in ("forward", "backward"):
+        Xr, Vr, ldr = getattr(dyn, direction)(params, x, v)
+        Xf, Vf, ldf = getattr(fused, direction)(params, x, v)
+        np.testing.assert_allclose(np.asarray(Xf), np.asarray(Xr), rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(Vf), np.asarray(Vr), rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(ldf), np.asarray(ldr), rtol=2e-4, atol=2e-4)
+
+    fd = DifferentiableFusedDynamics(fused)
+
+    def loss(d, p, x, v):
+        X, V, ld = d.forward(p, x, v)
+        return jnp.mean(X * X) + jnp.mean(V) + jnp.mean(ld)
+
+    g_r = jax.grad(loss, argnums=1)(dyn, params, x, v)
+    g_f = jax.grad(loss, argnums=1)(fd, params, x, v)
+    assert g_f["alpha"].shape == (2,)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_r), jax.tree_util.tree_leaves(g_f)
+    ):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-6
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=0, atol=2e-3 * scale
+        )
+
+
+def test_fused_chain_sampler_eps_dim():
+    """Whole-chain kernel with vector eps: zero-bits deterministic parity
+    against the XLA forward schedule (see test_fused_chain_sampler_exact_parity)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from l2hmc_tpu.ops import fused_chain_sampler
+
+    cfg = ScgConfig(n_chains=128, T=3, eps_dim=True)
+    dyn, target = build_dynamics(cfg)
+    params = dyn.init_params(jax.random.key(0), eps=0.1)
+    params["alpha"] = jnp.log(jnp.asarray([0.05, 0.2], jnp.float32))
+    sampler = fused_chain_sampler(dyn, target, tile=64)
+    x0 = jax.random.normal(jax.random.key(1), (128, 2), jnp.float32)
+    n_steps = 4
+    with pltpu.force_tpu_interpret_mode():
+        x1, acc = sampler.run(params, x0, seed=7, n_mh_steps=n_steps)
+    np.testing.assert_array_equal(np.asarray(acc), 1.0)
+    v_const = jnp.full_like(x0, float(np.sqrt(-2.0 * np.log(1e-7))))
+    x = x0
+    for _ in range(n_steps):
+        x, _, _ = dyn.forward(params, x, v_const)
+    np.testing.assert_allclose(
+        np.asarray(x1), np.asarray(x), rtol=2e-4, atol=2e-4
+    )
+
+
 def test_fused_vae_sampler_exact_parity():
     """VAE posterior kernel vs the XLA path, DETERMINISTICALLY.
 

@@ -45,6 +45,22 @@ def test_synthetic_data_stats(tiny_data):
     assert 0.02 < tiny_data.train.mean() < 0.5
 
 
+def test_real_digits_loader():
+    """sklearn's bundled handwritten digits, upsampled to the 28x28
+    pipeline shape — real data with no network egress (apps/data.py)."""
+    ds = data_lib.real_digits()
+    if ds is None:
+        pytest.skip("scikit-learn not installed")
+    assert ds.train.shape[1] == 784 and ds.test.shape[1] == 784
+    assert ds.train.shape[0] + ds.test.shape[0] == 1797
+    assert not ds.is_synthetic and ds.source.startswith("sklearn-digits")
+    assert 0.0 <= ds.train.min() and ds.train.max() <= 1.0
+    assert 0.05 < ds.train.mean() < 0.6
+    # deterministic split
+    ds2 = data_lib.real_digits()
+    np.testing.assert_array_equal(ds.train, ds2.train)
+
+
 def test_binarize(tiny_data):
     rng = np.random.default_rng(0)
     b = data_lib.binarize(rng, tiny_data.train)
