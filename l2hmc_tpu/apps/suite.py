@@ -96,6 +96,7 @@ _GLOBAL_DEFAULTS: dict = {
     "eps_dim": False,
     "z_burn_in_loss": True,
     "whiten_loss": False,
+    "net_input_whiten": False,
     "scale": 0.1,  # the notebook's mixed-loss scale (cell 9)
 }
 
@@ -166,6 +167,7 @@ def run_target(
         eps_dim=eff["eps_dim"],
         z_burn_in_loss=eff["z_burn_in_loss"],
         whiten_loss=eff["whiten_loss"],
+        net_input_whiten=eff["net_input_whiten"],
         scale=eff["scale"],
     )
     dynamics, _ = build_dynamics(cfg, target)

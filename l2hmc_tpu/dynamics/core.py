@@ -115,6 +115,17 @@ class Dynamics:
         (utils/dynamics.py:203-212); off in all reference drivers but kept —
         the paper anneals temperature.
       mask_seed: seed for the per-step binary masks.
+      input_scale: optional per-dimension sigma for NET-INPUT whitening —
+        x-like net inputs are scaled by 1/sigma and gradient inputs by
+        sigma before the S/T/Q nets see them (momentum is already O(1)).
+        Rebuild-only extension for ill-conditioned targets: at condition
+        1e4 the raw inputs span four decades, so the shared first linear
+        layer is dominated by the widest dimensions. A fixed elementwise
+        rescaling of net INPUTS changes nothing about the integrator's
+        invertibility or log-det (the scaling is a fixed function of the
+        same arguments); it only reconditions the function class. The
+        fused kernels fold the scaling into the embed weights at
+        _extract_net time (exact, zero kernel cost).
     """
 
     dim: int
@@ -127,6 +138,7 @@ class Dynamics:
     eps_dim: bool = False
     use_temperature: bool = False
     mask_seed: int = 0
+    input_scale: Optional[tuple] = None  # per-dim sigma (length dim)
 
     def __post_init__(self):
         if not self.hmc and (self.xnet is None or self.vnet is None):
@@ -178,10 +190,20 @@ class Dynamics:
         return batched_grad(lambda y: self._energy(y, aux, temperature))(x)
 
     def _apply_nets(self, params: Params, net: str, inputs) -> tuple:
-        """VNet/XNet apply; zeros in HMC mode (utils/dynamics.py:73-76)."""
+        """VNet/XNet apply; zeros in HMC mode (utils/dynamics.py:73-76).
+
+        With ``input_scale`` the x-like input is whitened by 1/sigma and
+        the gradient input by sigma (vnet sees [x, grad, ...]; xnet sees
+        [v, masked_x, ...] with v already O(1))."""
         if self.hmc:
             z = jnp.zeros_like(inputs[0])
             return z, z, z
+        if self.input_scale is not None:
+            sig = jnp.asarray(self.input_scale, inputs[0].dtype)
+            if net == "vnet":
+                inputs = [inputs[0] / sig, inputs[1] * sig, *inputs[2:]]
+            else:
+                inputs = [inputs[0], inputs[1] / sig, *inputs[2:]]
         mod = self.vnet if net == "vnet" else self.xnet
         s, t, q = mod.apply(params[net], inputs)
         return s, t, q

@@ -60,11 +60,29 @@ Array = jax.Array
 _NET_ARRAYS = 13
 
 
-def _extract_net(net_params: Any, trig: np.ndarray) -> list[Array]:
+def _net_scales(dynamics: Dynamics):
+    """Per-net embed-weight folds implementing Dynamics.input_scale.
+
+    net(inputs scaled by s) == net with embed weight rows scaled by s —
+    dot(w.T, a * s[:, None]) == dot((w * s[:, None]).T, a) — so the
+    whitening costs nothing inside the kernel. Returns
+    ((xnet_s0, xnet_s1), (vnet_s0, vnet_s1)); None means unscaled."""
+    sig = getattr(dynamics, "input_scale", None)
+    if sig is None:
+        return (None, None), (None, None)
+    s = np.asarray(sig, np.float32)
+    return (None, 1.0 / s), (1.0 / s, s)
+
+
+def _extract_net(
+    net_params: Any, trig: np.ndarray, scales=(None, None)
+) -> list[Array]:
     """Flatten a ``stq_net`` params pytree into the kernel's weight list.
 
     Structure (nets/stq.py): sequential(zip(lin, lin, lin, aux), add, relu,
     linear, relu, parallel(seq(lin, scale_tanh), lin, seq(lin, scale_tanh))).
+    ``scales`` folds Dynamics.input_scale into the two embed weights
+    (see _net_scales).
     """
     zip_p = net_params[0]
     lin_h = net_params[3]
@@ -78,8 +96,11 @@ def _extract_net(net_params: Any, trig: np.ndarray) -> list[Array]:
     bias = e1["b"] + e2["b"] + e3["b"]  # summed Zip biases
     # folded time path: (H, T) = W3^T trig^T + bias
     te = e3["w"].T @ jnp.asarray(trig.T, jnp.float32) + col(bias)
+    s0, s1 = scales
+    w1 = e1["w"] if s0 is None else e1["w"] * jnp.asarray(s0)[:, None]
+    w2 = e2["w"] if s1 is None else e2["w"] * jnp.asarray(s1)[:, None]
     return [
-        e1["w"], e2["w"],
+        w1, w2,
         lin_h["w"], col(lin_h["b"]),
         s_lin["w"], col(s_lin["b"]), col(s_st["log_scale"]),
         t_lin["w"], col(t_lin["b"]),
@@ -535,8 +556,9 @@ class FusedDynamics:
         if n % tile != 0:
             raise ValueError(f"n_chains {n} must be divisible by tile {tile}")
 
-        xnet_w = _extract_net(params["xnet"], dyn.times)
-        vnet_w = _extract_net(params["vnet"], dyn.times)
+        xs, vs = _net_scales(dyn)
+        xnet_w = _extract_net(params["xnet"], dyn.times, xs)
+        vnet_w = _extract_net(params["vnet"], dyn.times, vs)
         eps = _eps_col(dyn.eps(params), dyn.dim)
         masks = jnp.asarray(dyn.masks.T, jnp.float32)  # (D, T)
 
@@ -699,8 +721,9 @@ class DifferentiableFusedDynamics:
 
     def _run(self, params, x, v, *, reverse: bool):
         dyn = self.fused.dynamics
-        xw = _extract_net(params["xnet"], dyn.times)
-        vw = _extract_net(params["vnet"], dyn.times)
+        xs, vs = _net_scales(dyn)
+        xw = _extract_net(params["xnet"], dyn.times, xs)
+        vw = _extract_net(params["vnet"], dyn.times, vs)
         # the differentiable boundary takes the (D, 1) kernel-layout eps;
         # scalar-eps gradients flow back through the broadcast's transpose
         eps = _eps_col(dyn.eps(params), dyn.dim)
@@ -1031,8 +1054,9 @@ class FusedChainSampler:
         if n % tile != 0:
             raise ValueError(f"n_chains {n} must be divisible by tile {tile}")
 
-        xnet_w = _extract_net(params["xnet"], dyn.times)
-        vnet_w = _extract_net(params["vnet"], dyn.times)
+        xs, vs = _net_scales(dyn)
+        xnet_w = _extract_net(params["xnet"], dyn.times, xs)
+        vnet_w = _extract_net(params["vnet"], dyn.times, vs)
         eps = _eps_col(dyn.eps(params), dyn.dim)
         masks = jnp.asarray(dyn.masks.T, jnp.float32)
         seed_arr = jnp.asarray([seed], jnp.int32)

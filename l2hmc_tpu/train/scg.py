@@ -69,6 +69,12 @@ class ScgConfig:
     # distance term is dominated by the widest dimensions, so the objective
     # can reward blowing them up at the expense of global acceptance.
     whiten_loss: bool = False
+    # whiten the S/T/Q NET INPUTS by the target's per-dimension sigma
+    # (Dynamics.input_scale): x-like inputs /sigma, gradients *sigma. On
+    # condition-1e4 targets the raw inputs span four decades and the shared
+    # embed layer is dominated by the widest dims. Rebuild-only extension;
+    # needs a target with a known (or estimated) diagonal sigma.
+    net_input_whiten: bool = False
     remat: bool = False
     grad_clip: float = 0.0  # global-norm clip; 0 = off (reference SCG had none)
     # temperature annealing (arXiv 1711.09268 uses it; the reference wires
@@ -115,6 +121,15 @@ def build_dynamics(config: ScgConfig, target=None) -> tuple[Dynamics, Any]:
     target = targets.scg_gaussian() if target is None else target
     xnet = nets.scg_net_factory(config.dim, factor=2.0, hidden=config.hidden)
     vnet = nets.scg_net_factory(config.dim, factor=1.0, hidden=config.hidden)
+    input_scale = None
+    if config.net_input_whiten:
+        sig = np.asarray(getattr(target, "sigma", None))
+        if sig.ndim == 2:
+            input_scale = tuple(np.sqrt(np.diag(sig)).tolist())
+        else:
+            raise ValueError(
+                "net_input_whiten needs a target with a covariance .sigma"
+            )
     dyn = Dynamics(
         dim=config.dim,
         energy=target.energy,
@@ -125,6 +140,7 @@ def build_dynamics(config: ScgConfig, target=None) -> tuple[Dynamics, Any]:
         eps_trainable=config.eps_trainable,
         eps_dim=config.eps_dim,
         use_temperature=config.init_temperature > 1.0,
+        input_scale=input_scale,
     )
     return dyn, target
 

@@ -296,6 +296,40 @@ def test_fused_eps_dim_parity():
         )
 
 
+def test_fused_input_whiten_parity():
+    """Dynamics.input_scale (net-input whitening): the fused kernel's
+    embed-weight fold must reproduce the XLA path's explicit input scaling,
+    and whitening must actually change the trajectories."""
+    from l2hmc_tpu.ops.fused_dynamics import fused_for_target
+
+    target = targets.ill_conditioned_gaussian(8, 2.0)
+    cfg = ScgConfig(dim=8, n_chains=128, T=3, net_input_whiten=True)
+    dyn, _ = build_dynamics(cfg, target)
+    assert dyn.input_scale is not None and len(dyn.input_scale) == 8
+    params = dyn.init_params(jax.random.key(0), eps=0.1)
+    params = jax.tree_util.tree_map(
+        lambda a: a + 0.03 * jnp.ones_like(a) if a.ndim >= 1 else a, params
+    )
+    x = target.sample(jax.random.key(1), 128)
+    v = jax.random.normal(jax.random.key(2), x.shape, jnp.float32)
+
+    fused = fused_for_target(dyn, target, tile=64, interpret=True)
+    for direction in ("forward", "backward"):
+        Xr, Vr, ldr = getattr(dyn, direction)(params, x, v)
+        Xf, Vf, ldf = getattr(fused, direction)(params, x, v)
+        np.testing.assert_allclose(np.asarray(Xf), np.asarray(Xr), rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(Vf), np.asarray(Vr), rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(ldf), np.asarray(ldr), rtol=2e-4, atol=2e-4)
+
+    # whitening is not a no-op: the unwhitened dynamics differs
+    plain = build_dynamics(
+        ScgConfig(dim=8, n_chains=128, T=3), target
+    )[0]
+    Xp, _, _ = plain.forward(params, x, v)
+    Xw, _, _ = dyn.forward(params, x, v)
+    assert not np.allclose(np.asarray(Xp), np.asarray(Xw))
+
+
 def test_fused_chain_sampler_eps_dim():
     """Whole-chain kernel with vector eps: zero-bits deterministic parity
     against the XLA forward schedule (see test_fused_chain_sampler_exact_parity)."""
