@@ -18,7 +18,8 @@ the chain axis; weights use full-array VMEM blocks. The time embedding
 array per net.
 
 Kernels in this module (all generic over an in-kernel energy spec —
-Gaussian family, rough well, GMM; see ``energy_spec_for_target``):
+Gaussian family, rough well, GMM, funnel, phi^4 lattice; see
+``energy_spec_for_target``):
   - FusedDynamics — single fused trajectory (fwd or bwd).
   - FusedChainSampler — K whole MH steps per launch (in-kernel PRNG),
     optionally emitting the full chain trace to HBM for ESS evaluation.
@@ -423,11 +424,69 @@ class FunnelEnergy:
         return energy, grad_energy
 
 
+@dataclasses.dataclass(frozen=True)
+class Phi4Energy:
+    """2-D phi^4 lattice action (targets/lattice.py) as an in-kernel
+    5-point stencil on the flattened (D, TILE) state, D = L*L, site index
+    r*L + c. Vertical neighbors are plain flat rolls by +-L (periodic in r
+    for free); horizontal neighbors are flat rolls by -+1 with the L
+    row-end sites corrected by an opposite (L-1)-roll under an iota mask —
+    six static sublane rolls + selects per gradient, all O(D*TILE) VPU
+    work, matching the XLA path's jnp.roll construction
+    (targets/lattice.py energy). A dense 4I - A matmul was measured first:
+    it wins at L=16 (MXU-friendly) but its O(D^2) FLOPs lose to the O(D)
+    stencil by L=32, so the stencil is the scalable form.
+    grad = 4 phi - neighbors + m^2 phi + 4 lam phi^3."""
+
+    L: int
+    m2: float
+    lam: float
+
+    def consts(self) -> list[Array]:
+        return []
+
+    def build(self, vals):
+        L = int(self.L)
+        m2, lam = float(self.m2), float(self.lam)
+
+        def neighbors(x):
+            i = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+            c = jax.lax.rem(i, jnp.int32(L))
+            # jnp.roll(x, s, 0)[i] = x[i - s]; right neighbor phi[i+1]
+            # is roll(-1), except row-end sites (c = L-1) wrap to phi[i-(L-1)]
+            right = jnp.where(
+                c == L - 1, jnp.roll(x, L - 1, axis=0), jnp.roll(x, -1, axis=0)
+            )
+            left = jnp.where(
+                c == 0, jnp.roll(x, -(L - 1), axis=0), jnp.roll(x, 1, axis=0)
+            )
+            down = jnp.roll(x, -L, axis=0)
+            up = jnp.roll(x, L, axis=0)
+            return right, left, down, up
+
+        def grad_energy(x):
+            right, left, down, up = neighbors(x)
+            lap = 4.0 * x - right - left - down - up
+            return lap + m2 * x + (4.0 * lam) * x * x * x
+
+        def energy(x):
+            right, _, down, _ = neighbors(x)
+            x2 = jnp.square(x)
+            kin = 0.5 * (
+                jnp.square(right - x) + jnp.square(down - x)
+            )
+            pot = (0.5 * m2) * x2 + lam * jnp.square(x2)
+            return jnp.sum(kin + pot, axis=0, keepdims=True)
+
+        return energy, grad_energy
+
+
 def energy_spec_for_target(target):
     """Map a target distribution to its in-kernel energy spec.
 
     Supported: Gaussian family (mu/_prec), RoughWell, GMM (ring/mog2),
-    GaussianFunnel — the full suite. Raises ValueError otherwise."""
+    GaussianFunnel, Phi4Lattice — the full suite plus the lattice stretch.
+    Raises ValueError otherwise."""
     prec = getattr(target, "_prec", None)
     mu = getattr(target, "mu", None)
     if prec is not None and mu is not None:
@@ -443,6 +502,8 @@ def energy_spec_for_target(target):
         return GmmEnergy(mus.T.copy(), precs, log_consts)
     if hasattr(target, "clip") and hasattr(target, "sigma"):  # GaussianFunnel
         return FunnelEnergy(float(target.sigma), float(target.clip), target.dim)
+    if hasattr(target, "lam") and hasattr(target, "m2"):  # Phi4Lattice
+        return Phi4Energy(target.L, float(target.m2), float(target.lam))
     raise ValueError(
         f"no fused energy spec for target {type(target).__name__}"
     )
@@ -542,6 +603,11 @@ class FusedDynamics:
                     jax.ShapeDtypeStruct((d, n), jnp.float32),
                     jax.ShapeDtypeStruct((d, n), jnp.float32),
                     jax.ShapeDtypeStruct((1, n), jnp.float32),
+                ),
+                # wide states (phi^4 D=256+) exceed the 16 MB default
+                # scoped-VMEM cap at useful tiles; v5e has 128 MB physical
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024
                 ),
                 interpret=self.interpret,
             )(eps, masks, *consts, *xnet_w, *vnet_w, xT, vT)
@@ -1116,13 +1182,14 @@ class FusedChainSampler:
                 pltpu.SemaphoreType.DMA(()),
             ]
 
-        kw = {}
-        if collect_trace:
-            # the trace ring + trajectory stack exceed the 16 MB default
-            # scoped-VMEM cap at wide dims (v5e has 128 MB physical)
-            kw["compiler_params"] = pltpu.CompilerParams(
+        # the trajectory stack (and, when tracing, the trace ring) exceed
+        # the 16 MB default scoped-VMEM cap at wide dims — phi^4 D=256
+        # needs ~24 MB even untraced; v5e has 128 MB physical
+        kw = {
+            "compiler_params": pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024
             )
+        }
 
         @jax.jit
         def call(seed_arr, eps, masks, consts, xnet_w, vnet_w, xT):

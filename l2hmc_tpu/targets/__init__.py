@@ -16,6 +16,7 @@ from l2hmc_tpu.targets.gaussian import (
     tilted_gaussian,
 )
 from l2hmc_tpu.targets.gmm import GMM, gen_ring, mog2
+from l2hmc_tpu.targets.lattice import Phi4Lattice
 from l2hmc_tpu.targets.rough_well import RoughWell
 
 __all__ = [
@@ -24,6 +25,7 @@ __all__ = [
     "Gaussian",
     "GaussianFunnel",
     "GMM",
+    "Phi4Lattice",
     "RoughWell",
     "gen_ring",
     "mog2",

@@ -84,8 +84,9 @@ def _build_for(target, T=3, seed=0):
         targets.gen_ring(r=2.0, var=0.1, nb_mixtures=4),
         targets.mog2(distance=4.0, var=0.1),
         targets.GaussianFunnel(dim=6),
+        targets.Phi4Lattice(L=4, m2=-4.0, lam=1.0),
     ],
-    ids=["rough_well_easy", "ring", "mog2", "funnel"],
+    ids=["rough_well_easy", "ring", "mog2", "funnel", "phi4"],
 )
 def test_fused_specs_match_xla(target):
     """Non-Gaussian energy specs: fused trajectory == XLA trajectory.
