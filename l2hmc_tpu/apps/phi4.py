@@ -86,9 +86,37 @@ def run(
     train_time = time.perf_counter() - t0
 
     x0 = target.sample(jax.random.key(seed + 1), n_chains)
-    _, trace = sample_chain(
-        dynamics, state.params, x0, eval_steps, jax.random.key(seed + 2)
-    )
+    # trained-sampler eval chain: single fused trace-emitting launch on TPU
+    # (the stencil Phi4Energy spec, ops/fused_dynamics.py — measured 1.4x
+    # the XLA scan at L=16/32); XLA-keyed scan elsewhere / on fallback
+    fused_eval = False
+    if jax.default_backend() == "tpu":
+        try:
+            from l2hmc_tpu.ops import fused_chain_sampler
+
+            sampler = fused_chain_sampler(
+                dynamics, target, tile=min(256, n_chains)
+            )
+            # warm up at the measured step count (the kernel program is
+            # specialized on n_mh_steps) so the timing excludes compile
+            jax.block_until_ready(
+                sampler.run(state.params, x0, seed=seed,
+                            n_mh_steps=eval_steps, collect_trace=True)[0]
+            )
+            t1 = time.perf_counter()
+            _, _, trace = sampler.run(
+                state.params, x0, seed=seed + 2, n_mh_steps=eval_steps,
+                collect_trace=True,
+            )
+            jax.block_until_ready(trace)
+            eval_time_fused = time.perf_counter() - t1
+            fused_eval = True
+        except ValueError:
+            pass
+    if not fused_eval:
+        _, trace = sample_chain(
+            dynamics, state.params, x0, eval_steps, jax.random.key(seed + 2)
+        )
     _, hmc_trace = hmc_sample_chain(
         target, hmc_eps, leapfrogs, x0, eval_steps, jax.random.key(seed + 3)
     )
@@ -109,6 +137,8 @@ def run(
         "final_accept": float(np.mean(history["p_accept"][-100:])),
         "train_time_s": train_time,
     }
+    if fused_eval:
+        result["eval_time_s_fused"] = eval_time_fused
 
     if pt_rungs > 1:
         from l2hmc_tpu.dynamics import Dynamics
