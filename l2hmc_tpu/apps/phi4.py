@@ -56,6 +56,7 @@ def run(
     leapfrogs: int = 10,
     hidden: int = 32,
     eval_steps: int = 1000,
+    eps: float = 0.1,
     hmc_eps: float = 0.1,
     init_temperature: float = 1.0,
     pt_rungs: int = 0,
@@ -74,6 +75,7 @@ def run(
         n_chains=n_chains,
         T=leapfrogs,
         hidden=hidden,
+        eps=eps,
         n_steps=n_steps,
         seed=seed,
         init_temperature=init_temperature,
@@ -94,9 +96,17 @@ def run(
         try:
             from l2hmc_tpu.ops import fused_chain_sampler
 
-            sampler = fused_chain_sampler(
-                dynamics, target, tile=min(256, n_chains)
-            )
+            # dim-aware tile, floor 128 (the Pallas lane width — smaller
+            # tiles are rejected unless tile == n_chains). Measured scope:
+            # dim 1024 fits comfortably; dim 4096 OOMs scoped VMEM even at
+            # the minimum legal tile (the T-unrolled trajectory stack), so
+            # the except below falls back to the XLA scan there.
+            tile = min(256, n_chains)
+            while tile > 128 and target.dim * tile * 4 > 1024 * 1024:
+                tile //= 2
+            while n_chains % tile:
+                tile //= 2
+            sampler = fused_chain_sampler(dynamics, target, tile=tile)
             # warm up at the measured step count (the kernel program is
             # specialized on n_mh_steps) so the timing excludes compile
             jax.block_until_ready(
@@ -111,8 +121,8 @@ def run(
             jax.block_until_ready(trace)
             eval_time_fused = time.perf_counter() - t1
             fused_eval = True
-        except ValueError:
-            pass
+        except Exception as e:  # no spec / kernel OOM -> XLA fallback
+            print(f"# fused eval unavailable, using XLA path: {e}")
     if not fused_eval:
         _, trace = sample_chain(
             dynamics, state.params, x0, eval_steps, jax.random.key(seed + 2)
@@ -195,6 +205,10 @@ def main(argv=None):
     p.add_argument("--leapfrogs", type=int, default=10)
     p.add_argument("--hidden", type=int, default=32)
     p.add_argument("--eval_steps", type=int, default=1000)
+    p.add_argument("--eps", type=float, default=0.1,
+                   help="initial leapfrog step size (shrink for large L: "
+                        "the stability bound tightens with lattice size)")
+    p.add_argument("--hmc_eps", type=float, default=0.1)
     p.add_argument("--pt_rungs", type=int, default=0,
                    help="parallel-tempering rungs for the eval (0 = off)")
     p.add_argument("--pt_t_max", type=float, default=16.0)
