@@ -27,9 +27,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from l2hmc_tpu import mcmc
+from l2hmc_tpu import mcmc, parallel
 from l2hmc_tpu.dynamics import Dynamics
-from l2hmc_tpu.ops import fused_chain_sampler, fused_for_target
+from l2hmc_tpu.ops import fused_chain_sampler, fused_for_target, sharded_chain_run
 from l2hmc_tpu.train import (
     ScgConfig,
     build_dynamics,
@@ -87,11 +87,25 @@ def leapfrog_throughput(
     tp.tick(iters, block_on=chain(x, jax.random.key(3)))
     xla = tp.leapfrogs_per_sec
 
-    sampler = fused_chain_sampler(dynamics, target, tile=2048)
+    # fused path rides the chain mesh (all local devices; 1-chip = plain
+    # launch, pod = one kernel per chip on its shard — VERDICT r2 item 1)
+    mesh = parallel.chain_mesh()
+    n_dev = mesh.shape[parallel.CHAIN_AXIS]
+    sampler = fused_chain_sampler(
+        dynamics, target, tile=min(2048, n_chains // n_dev)
+    )
+    x_sh = parallel.shard_chains(mesh, x)
     k_steps = 10 * iters
-    jax.block_until_ready(sampler.run(params, x, seed=0, n_mh_steps=k_steps)[0])
+    jax.block_until_ready(
+        sharded_chain_run(sampler, mesh, params, x_sh, seed=0,
+                          n_mh_steps=k_steps)[0]
+    )
     tp = Throughput(n_chains=n_chains, leapfrogs_per_step=2 * T)
-    tp.tick(k_steps, block_on=sampler.run(params, x, seed=1, n_mh_steps=k_steps)[0])
+    tp.tick(
+        k_steps,
+        block_on=sharded_chain_run(sampler, mesh, params, x_sh, seed=1,
+                                   n_mh_steps=k_steps)[0],
+    )
     return xla, tp.leapfrogs_per_sec, tp.steps_per_sec
 
 
@@ -148,18 +162,24 @@ def main():
 
     x0 = target.sample(jax.random.key(cfg.seed + 1), cfg.n_chains)
 
-    # L2HMC eval: ONE fused kernel launch emits the full (2000, N, D) trace.
+    # L2HMC eval: ONE fused kernel launch per device emits the full
+    # (2000, N, D) trace, sharded over the chain mesh (1 chip = 1 launch).
     # Warm up at the SAME n_mh_steps — the kernel program is specialized on
     # the step count, so a short warmup would leave the timed call compiling.
-    sampler = fused_chain_sampler(dynamics, target, tile=min(2048, cfg.n_chains))
+    mesh = parallel.chain_mesh()
+    n_dev = mesh.shape[parallel.CHAIN_AXIS]
+    sampler = fused_chain_sampler(
+        dynamics, target, tile=min(2048, cfg.n_chains // n_dev)
+    )
+    x0_sh = parallel.shard_chains(mesh, x0)
     jax.block_until_ready(
-        sampler.run(state.params, x0, seed=cfg.seed, n_mh_steps=eval_steps,
-                    collect_trace=True)[0]
+        sharded_chain_run(sampler, mesh, state.params, x0_sh, seed=cfg.seed,
+                          n_mh_steps=eval_steps, collect_trace=True)[0]
     )  # compile
     t1 = time.perf_counter()
-    _, _, fused_trace = sampler.run(
-        state.params, x0, seed=cfg.seed + 2, n_mh_steps=eval_steps,
-        collect_trace=True,
+    _, _, fused_trace = sharded_chain_run(
+        sampler, mesh, state.params, x0_sh, seed=cfg.seed + 2,
+        n_mh_steps=eval_steps, collect_trace=True,
     )
     jax.block_until_ready(fused_trace)
     eval_time = time.perf_counter() - t1
@@ -222,6 +242,7 @@ def main():
                 ess_sec_chip_l2hmc / max(ess_sec_chip_hmc, 1e-12), 1
             ),
             "n_chips": N_CHIPS,
+            "fused_eval_n_devices": n_dev,
             "profile_trace": profile_dir if profiled else None,
             "device": str(jax.devices()[0]),
         },

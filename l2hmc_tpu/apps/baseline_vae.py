@@ -85,6 +85,8 @@ def train(
 ):
     """Training loop (baseline_vae.py:171-201)."""
     dataset = dataset if dataset is not None else data_lib.get_data()
+    if verbose and dataset.source != "mnist":
+        print(f"[baseline_vae] data source: {dataset.source}")
     batch_per_epoch = max(dataset.train.shape[0] // cfg.batch_size, 1)
     encoder, decoder = build(cfg)
 

@@ -44,7 +44,8 @@ class EvalSamplerConfig:
     burn_in: int = 1000
     max_composition: int = 4  # nb_steps ~ U{1..3} (eval_sampler.py:161)
     datapoint_index: int = 456  # eval_sampler.py:176
-    hmc_eps_grid: tuple = (0.05, 0.075, 0.1, 0.125, 0.15, 0.175)
+    # reference protocol runs eps up to 0.2 (eval_sampler.py:176-201)
+    hmc_eps_grid: tuple = (0.05, 0.075, 0.1, 0.125, 0.15, 0.175, 0.2)
     max_autocov_lag: int = 199
 
 
@@ -111,8 +112,10 @@ def run(
     seed: int = 0,
     plot_path: Optional[str] = None,
 ) -> dict:
-    """Full protocol; returns {'trained': curve, 'hmc': {eps: curve}}."""
+    """Full protocol; returns {'trained': curve, 'hmc': {eps: curve},
+    'data_source': provenance}."""
     dataset = dataset if dataset is not None else data_lib.get_data()
+    print(f"[eval_sampler] data source: {dataset.source}")
     rng = np.random.default_rng(seed)
     x_train = data_lib.binarize(rng, dataset.train)
     x0 = np.tile(
@@ -143,6 +146,7 @@ def run(
             h[cfg.burn_in :], mu, cfg.max_autocov_lag
         )
     curves["hmc"] = hmc_curves
+    curves["data_source"] = dataset.source
 
     if plot_path:
         _plot(curves, plot_path)
@@ -156,6 +160,7 @@ def _plot(curves: dict, path: str) -> None:
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    curves = {k: v for k, v in curves.items() if k in ("trained", "hmc")}
     for eps, c in curves["hmc"].items():
         plt.plot(c, label=f"$\\epsilon={eps:.2f}$")
     plt.plot(curves["trained"], label="L2HMC")

@@ -114,6 +114,7 @@ def run(
     """Full eval protocol: fixed binarization of the chosen split
     (eval_vae.py:72 used a precomputed .npy; here a seeded binarization)."""
     dataset = dataset if dataset is not None else data_lib.get_data()
+    print(f"[eval_vae] data source: {dataset.source}")
     raw = dataset.train if cfg.split == "train" else dataset.test
     rng = np.random.default_rng(seed)
     x = data_lib.binarize(rng, raw)

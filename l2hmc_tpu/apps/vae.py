@@ -85,6 +85,15 @@ class VaeConfig:
     faithful_loss_accum: bool = False
     seed: int = 0
     mask_seed: int = 0
+    # run training trajectories through the fused VAE Pallas kernel with its
+    # custom_vjp (ops.DifferentiableFusedVae) instead of the XLA path. The
+    # decoder energy gradient is 6 MXU matmuls per call — the profile where
+    # the fused EVAL kernel already wins ~2x — but whether the fused
+    # TRAINING step wins is decided by measurement (PARITY.md "fused VAE
+    # training A/B"), same discipline as ScgConfig.fused_train.
+    fused_train: bool = False
+    fused_tile: int = 256
+    fused_compute_dtype: str = ""  # "bfloat16" lowers kernel matmul operands
 
 
 # -- model builders ----------------------------------------------------------
@@ -279,6 +288,15 @@ def make_train_step(model: VaeModel, batch_per_epoch: int):
     cfg = model.cfg
     opt_enc, opt_dec, opt_smp, _ = make_optimizers(cfg, batch_per_epoch)
     dyn = model.dynamics
+    if cfg.fused_train and not cfg.hmc:
+        from l2hmc_tpu.ops import DifferentiableFusedVae
+
+        dyn = DifferentiableFusedVae(
+            model.dynamics,
+            tile=min(cfg.fused_tile, cfg.batch_size),
+            interpret=jax.default_backend() == "cpu",
+            compute_dtype=cfg.fused_compute_dtype,
+        )
 
     def sampler_refine(smp, dec_params, batch, mu, log_sigma, latent_q, key):
         """MH refinement loop; returns (latent_T, sampler_loss, metrics)."""
@@ -501,6 +519,27 @@ def train(
             save_checkpoint(f"{logdir}/ckpt", state, config=cfg)
             _save_sample_grid(model, state, logdir, e)
     return model, state, last
+
+
+def restore(ckpt_path: str, batch_per_epoch: int = 1) -> tuple[VaeModel, VaeState]:
+    """Rebuild the model + state from a checkpoint saved by :func:`train`.
+
+    The config JSON sidecar (with its ``mask_seed``) reconstructs the exact
+    sampler — masks, architecture, eps parameterization — in a fresh
+    process; orbax restores params/opt state/PRNG key. This replaces the
+    reference's restore-then-scrape-masks-by-tensor-name flow
+    (eval_sampler.py:52-59,164-166). ``batch_per_epoch`` only shapes the lr
+    schedule inside the optimizer states (leaf shapes are identical)."""
+    from l2hmc_tpu.io import config_from_dict, load_config, restore_checkpoint
+
+    cfg_dict = load_config(ckpt_path)
+    if cfg_dict is None:
+        raise FileNotFoundError(f"no config JSON next to {ckpt_path}")
+    cfg = config_from_dict(VaeConfig, cfg_dict)
+    model = VaeModel.build(cfg)
+    template = init_state(model, batch_per_epoch)
+    state = restore_checkpoint(ckpt_path, template)
+    return model, state
 
 
 def _save_sample_grid(model: VaeModel, state: VaeState, logdir: str, epoch: int):

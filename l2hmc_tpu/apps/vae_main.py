@@ -58,9 +58,12 @@ def main(argv=None):
     p.add_argument("--max_eval_datapoints", type=int, default=None,
                    help="cap datapoints per AIS split (None = full split, "
                         "the reference protocol)")
+    p.add_argument("--restore", type=str, default=None,
+                   help="checkpoint path (logdir/ckpt): skip training, "
+                        "rebuild the model from the config JSON + mask_seed "
+                        "and run evals from disk")
     args = p.parse_args(argv)
 
-    cfg = parse_hparams(args.hparams, vae.VaeConfig)
     logdir = os.path.join(args.logdir_root, args.exp_id)
     print(f"Saving logs to {logdir}")
 
@@ -70,13 +73,22 @@ def main(argv=None):
     elif dataset.source != "mnist":
         print(f"NOTE: MNIST not found; training on real data: {dataset.source}")
 
-    model, state, last = vae.train(cfg, dataset, logdir=logdir)
-    print("final:", json.dumps({k: float(v) for k, v in last.items()}))
+    if args.restore:
+        model, state = vae.restore(args.restore)
+        cfg = model.cfg
+        last = {"restored_step": int(state.step)}
+        print(f"restored step {int(state.step)} from {args.restore}")
+        args.eval = True  # eval-only mode: restoring without evals is a no-op
+    else:
+        cfg = parse_hparams(args.hparams, vae.VaeConfig)
+        model, state, last = vae.train(cfg, dataset, logdir=logdir)
+        print("final:", json.dumps({k: float(v) for k, v in last.items()}))
 
     results = {
         "hparams": dataclasses.asdict(cfg),
         "synthetic_data": bool(dataset.is_synthetic),
         "data_source": dataset.source,
+        "restored_from": args.restore,
         "final_train_metrics": {k: float(v) for k, v in last.items()},
         "ais_log_likelihood": {},
     }

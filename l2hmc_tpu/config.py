@@ -35,14 +35,20 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 @dataclasses.dataclass(frozen=True)
 class Precision:
-    """Dtype policy for mixed-precision experiments.
+    """Dtype policy for mixed precision.
 
-    The framework currently runs float32 end-to-end with true-f32 matmul
-    precision (see the global flag below) because MCMC acceptance is
-    bf16-intolerant; this policy object is the hook for selectively lowering
-    *net-internal* compute (safe: the map stays exactly invertible because
-    forward and backward recompute identical values) without touching the
-    energy/Hamiltonian/logdet accumulation path.
+    Params, accumulation (logdet / energy / Hamiltonian / loss) and chain
+    state are always float32 — MCMC acceptance rides O(1e-3) Hamiltonian
+    differences that bf16 accumulation would erase (measured; module
+    docstring). ``compute_dtype=bfloat16`` lowers only the *net-internal
+    matmul operands* (nets/core.linear, the fused kernels' S/T/Q + decoder
+    matmuls) to single-pass bf16 MXU ops with f32 accumulation
+    (``preferred_element_type``). The augmented leapfrog stays EXACTLY
+    invertible under this: forward and backward recompute the same nets on
+    the same inputs, so they see bit-identical S/T/Q values whatever the
+    matmul dtype. Consumers: nets.core.linear / nets.stq.stq_net
+    (``compute_dtype=``), ops.fused_dynamics kernels (``compute_dtype``
+    field), plumbed from ScgConfig.compute_dtype / FusedVaeSampler.
     """
 
     param_dtype: jnp.dtype = jnp.float32
@@ -51,6 +57,18 @@ class Precision:
 
 
 DEFAULT_PRECISION = Precision()
+BF16_PRECISION = Precision(compute_dtype=jnp.bfloat16)
+
+
+def resolve_compute_dtype(spec) -> "jnp.dtype | None":
+    """'float32'/'bfloat16'/None/np-dtype -> matmul operand dtype (None = f32
+    passthrough). The string form keeps dataclass configs JSON-serializable."""
+    if spec is None:
+        return None
+    if isinstance(spec, Precision):
+        spec = spec.compute_dtype
+    dt = jnp.dtype(spec)
+    return None if dt == jnp.float32 else dt
 
 
 def cdiv(a: int, b: int) -> int:

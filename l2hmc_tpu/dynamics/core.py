@@ -111,6 +111,14 @@ class Dynamics:
         in the shift terms and the exp(eps*s) diagonal scalings exactly as
         before). Fused Pallas kernels carry eps as a (dim, 1) VMEM column,
         so scalar and per-dim eps share one kernel code path.
+      eps_step: per-LEAPFROG-STEP trainable step size — alpha has shape
+        (T,); substep t integrates with the scalar eps[t], a learned
+        step-size schedule over the trajectory (warm-up/cool-down patterns
+        the single scalar cannot express). Rebuild-only extension targeting
+        the shrink-to-accept plateau on stiff targets (a timid scalar eps
+        pins acceptance near 1). Invertibility is per-substep, so a
+        per-substep scalar changes nothing structurally. Mutually exclusive
+        with eps_dim; XLA path only (no fused-kernel support).
       use_temperature: divide energy by a runtime temperature
         (utils/dynamics.py:203-212); off in all reference drivers but kept —
         the paper anneals temperature.
@@ -136,6 +144,7 @@ class Dynamics:
     hmc: bool = False
     eps_trainable: bool = True
     eps_dim: bool = False
+    eps_step: bool = False
     use_temperature: bool = False
     mask_seed: int = 0
     input_scale: Optional[tuple] = None  # per-dim sigma (length dim)
@@ -143,6 +152,8 @@ class Dynamics:
     def __post_init__(self):
         if not self.hmc and (self.xnet is None or self.vnet is None):
             raise ValueError("non-HMC dynamics requires xnet and vnet modules")
+        if self.eps_dim and self.eps_step:
+            raise ValueError("eps_dim and eps_step are mutually exclusive")
         object.__setattr__(self, "masks", make_masks(self.mask_seed, self.T, self.dim))
         object.__setattr__(self, "times", time_encoding(self.T))
 
@@ -156,6 +167,8 @@ class Dynamics:
         alpha = jnp.asarray(np.log(eps), jnp.float32)
         if self.eps_dim:
             alpha = jnp.full((self.dim,), alpha, jnp.float32)
+        elif self.eps_step:
+            alpha = jnp.full((self.T,), alpha, jnp.float32)
         if self.hmc:
             return {"alpha": alpha, "xnet": (), "vnet": ()}
         kx, kv = jax.random.split(key)
@@ -218,6 +231,8 @@ class Dynamics:
         Returns (x_out, v_out, logdet_contribution).
         """
         eps = self.eps(params)
+        if self.eps_step:
+            eps = eps[step_idx]  # per-substep scalar schedule
         n = x.shape[0]
         t = jnp.broadcast_to(
             jnp.asarray(self.times, x.dtype)[step_idx], (n, 2)
@@ -259,6 +274,8 @@ class Dynamics:
     ):
         """Exact inverse of :meth:`forward_step` (utils/dynamics.py:159-201)."""
         eps = self.eps(params)
+        if self.eps_step:
+            eps = eps[step_idx]
         n = x_o.shape[0]
         t = jnp.broadcast_to(
             jnp.asarray(self.times, x_o.dtype)[step_idx], (n, 2)

@@ -99,3 +99,33 @@ def load_config(path: str) -> Optional[dict]:
         return None
     with open(cfg_path) as f:
         return json.load(f)
+
+
+def config_from_dict(cls, d: dict):
+    """Rebuild a dataclass config from its JSON dict (save_checkpoint's
+    sidecar). Unknown keys are ignored (forward compatibility); values are
+    coerced through the field default's type, since JSON round-trips e.g.
+    tuples as lists and ``default=str`` stringifies exotic values.
+
+    This is the restore half of the mask-seed design (SURVEY.md §2 quirks):
+    config + mask_seed fully reconstruct the sampler, replacing the
+    reference's scrape-masks-from-the-graph hack (eval_sampler.py:52-59).
+    """
+    base = cls()
+    fields = {f.name for f in dataclasses.fields(cls)}
+    overrides = {}
+    for k, v in d.items():
+        if k not in fields or v is None:
+            continue
+        current = getattr(base, k)
+        if isinstance(current, bool):
+            overrides[k] = v if isinstance(v, bool) else str(v).lower() in (
+                "1", "true", "yes"
+            )
+        elif isinstance(current, tuple):
+            overrides[k] = tuple(v)
+        elif current is not None:
+            overrides[k] = type(current)(v)
+        else:
+            overrides[k] = v
+    return dataclasses.replace(base, **overrides)

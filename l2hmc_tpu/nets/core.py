@@ -35,7 +35,9 @@ class Module:
         return self.apply(params, x)
 
 
-def linear(in_dim: int, out_dim: int, factor: float = 1.0) -> Module:
+def linear(
+    in_dim: int, out_dim: int, factor: float = 1.0, compute_dtype=None
+) -> Module:
     """Dense layer with the reference's variance-scaling init.
 
     Reference utils/layers.py:29-37 used
@@ -44,7 +46,17 @@ def linear(in_dim: int, out_dim: int, factor: float = 1.0) -> Module:
     zero bias. The small ``factor`` values on the S/T/Q output heads
     (0.001/0.01) are load-bearing for training stability (SURVEY.md §7 hard
     part c).
+
+    ``compute_dtype`` (config.Precision.compute_dtype; e.g. bfloat16)
+    lowers the matmul *operands* only — params stay float32 and the
+    contraction accumulates float32 (``preferred_element_type``), the
+    classic TPU mixed-precision recipe. Safe for the S/T/Q nets: the
+    integrator's invertibility needs forward/backward to recompute
+    *identical* net values, which holds for any operand dtype.
     """
+    from l2hmc_tpu.config import resolve_compute_dtype
+
+    cd = resolve_compute_dtype(compute_dtype)
     initializer = jax.nn.initializers.variance_scaling(
         scale=2.0 * factor, mode="fan_in", distribution="truncated_normal"
     )
@@ -56,9 +68,11 @@ def linear(in_dim: int, out_dim: int, factor: float = 1.0) -> Module:
         }
 
     def apply(params: Params, x: Array) -> Array:
+        w = params["w"]
+        if cd is not None:
+            x, w = x.astype(cd), w.astype(cd)
         return (
-            jnp.dot(x, params["w"], preferred_element_type=jnp.float32)
-            + params["b"]
+            jnp.dot(x, w, preferred_element_type=jnp.float32) + params["b"]
         )
 
     return Module(init, apply)

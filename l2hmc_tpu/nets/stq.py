@@ -36,6 +36,7 @@ def stq_net(
     embed_factor: float = 1.0 / 3,
     hidden2: Optional[int] = None,
     aux_module: Optional[core.Module] = None,
+    compute_dtype=None,
 ) -> core.Module:
     """Build the 3-head S/T/Q MLP.
 
@@ -44,36 +45,47 @@ def stq_net(
     Matches the reference structure exactly: Zip-embed -> sum -> relu ->
     Linear(hidden, hidden2) -> relu -> Parallel[S=ScaleTanh(Linear(f)),
     T=Linear(f), Q=ScaleTanh(Linear(f))] (SCGExperiment.ipynb cell 3,
-    mnist_vae.py:142-167).
+    mnist_vae.py:142-167). ``compute_dtype`` lowers every internal matmul's
+    operands (config.Precision policy; see nets.core.linear).
     """
     h2 = hidden2 if hidden2 is not None else hidden
     aux = aux_module if aux_module is not None else core.constant_zero()
+    cd = compute_dtype
     return core.sequential(
         core.zip_modules(
-            core.linear(dim, hidden, factor=embed_factor),
-            core.linear(dim, hidden, factor=factor * embed_factor),
-            core.linear(2, hidden, factor=embed_factor),
+            core.linear(dim, hidden, factor=embed_factor, compute_dtype=cd),
+            core.linear(
+                dim, hidden, factor=factor * embed_factor, compute_dtype=cd
+            ),
+            core.linear(2, hidden, factor=embed_factor, compute_dtype=cd),
             aux,
         ),
         core.add_inputs(),
         core.activation(jax.nn.relu),
-        core.linear(hidden, h2),
+        core.linear(hidden, h2, compute_dtype=cd),
         core.activation(jax.nn.relu),
         core.parallel(
             core.sequential(
-                core.linear(h2, dim, factor=out_factor), core.scale_tanh(dim)
+                core.linear(h2, dim, factor=out_factor, compute_dtype=cd),
+                core.scale_tanh(dim),
             ),
-            core.linear(h2, dim, factor=out_factor),
+            core.linear(h2, dim, factor=out_factor, compute_dtype=cd),
             core.sequential(
-                core.linear(h2, dim, factor=out_factor), core.scale_tanh(dim)
+                core.linear(h2, dim, factor=out_factor, compute_dtype=cd),
+                core.scale_tanh(dim),
             ),
         ),
     )
 
 
-def scg_net_factory(dim: int, factor: float, hidden: int = 10) -> core.Module:
+def scg_net_factory(
+    dim: int, factor: float, hidden: int = 10, compute_dtype=None
+) -> core.Module:
     """The notebook's ``network()`` (SCGExperiment.ipynb cell 3)."""
-    return stq_net(dim, hidden, factor, out_factor=0.001, embed_factor=1.0 / 3)
+    return stq_net(
+        dim, hidden, factor, out_factor=0.001, embed_factor=1.0 / 3,
+        compute_dtype=compute_dtype,
+    )
 
 
 def vae_net_factory(

@@ -110,51 +110,95 @@ def _extract_net(
     ]
 
 
-def _apply_stq(w: list, a: Array, b: Array, step: int, emb=None):
+def _dot_in(cd):
+    """Matmul with operands lowered to ``cd`` (None = f32 passthrough),
+    always accumulating f32 on the MXU — the config.Precision recipe.
+    Invertibility is dtype-agnostic: forward/backward recompute identical
+    net values either way (config.Precision docstring)."""
+    if cd is None:
+        return lambda a, b: jnp.dot(
+            a, b, preferred_element_type=jnp.float32
+        )
+    return lambda a, b: jnp.dot(
+        a.astype(cd), b.astype(cd), preferred_element_type=jnp.float32
+    )
+
+
+def _col_at(arr, step):
+    """Column ``step`` of a (K, T) per-step constant array as (K, 1).
+
+    Static python ``step`` (the unrolled trajectory) lowers to a static
+    slice; a traced ``step`` (the fori_loop trajectory for wide states,
+    see _trajectory's ``loop``) lowers to a dynamic slice."""
+    if isinstance(step, (int, np.integer)):
+        return arr[:, step : step + 1]
+    return jax.lax.dynamic_slice_in_dim(arr, step, 1, axis=1)
+
+
+def _apply_stq(w: list, a: Array, b: Array, step, emb=None, cd=None):
     """S/T/Q net on transposed activations: a, b are (D, TILE); returns
     three (D, TILE). ``emb`` is the optional per-chain aux embedding
     (H, TILE) — the VAE sampler's 4th Zip input (mnist_vae.py:134-167),
-    added to the hidden pre-activation like the reference's add_inputs."""
+    added to the hidden pre-activation like the reference's add_inputs.
+    ``cd`` lowers matmul operands (bf16 MXU passes; f32 accumulation)."""
     w1, w2, wh, bh, ws, bs, ls, wt, bt, wq, bq, lq, te = w
-    h = jnp.dot(w1.T, a, preferred_element_type=jnp.float32)
-    h += jnp.dot(w2.T, b, preferred_element_type=jnp.float32)
-    h += te[:, step : step + 1]
+    dot = _dot_in(cd)
+    h = dot(w1.T, a)
+    h += dot(w2.T, b)
+    h += _col_at(te, step)
     if emb is not None:
         h += emb
     h = jnp.maximum(h, 0.0)
-    h2 = jnp.dot(wh.T, h, preferred_element_type=jnp.float32) + bh
+    h2 = dot(wh.T, h) + bh
     h2 = jnp.maximum(h2, 0.0)
-    s = jnp.exp(ls) * jnp.tanh(
-        jnp.dot(ws.T, h2, preferred_element_type=jnp.float32) + bs
-    )
-    t = jnp.dot(wt.T, h2, preferred_element_type=jnp.float32) + bt
-    q = jnp.exp(lq) * jnp.tanh(
-        jnp.dot(wq.T, h2, preferred_element_type=jnp.float32) + bq
-    )
+    s = jnp.exp(ls) * jnp.tanh(dot(ws.T, h2) + bs)
+    t = dot(wt.T, h2) + bt
+    q = jnp.exp(lq) * jnp.tanh(dot(wq.T, h2) + bq)
     return s, t, q
 
 
 def _trajectory(
     xnet_w, vnet_w, grad_energy, masks, eps, T: int, reverse: bool, x, v,
-    emb=None,
+    emb=None, cd=None, loop: bool = False,
 ):
     """Value-level T-step trajectory on transposed (D, TILE) state; shared by
     the single-trajectory kernel and the whole-chain sampler kernel.
-    Returns (x, v, logdet)."""
+    Returns (x, v, logdet).
+
+    ``loop=False`` unrolls the T steps at trace time (static per-step
+    constant indices — the fastest form for small states). ``loop=True``
+    runs a ``fori_loop`` whose body is ONE substep with dynamically-sliced
+    masks/time-embedding columns: the Mosaic program contains a single
+    substep so its scoped-VMEM stack stays flat in T — this is what lifts
+    the whole-chain kernel's state-dimension ceiling from ~1024 (phi^4
+    32x32) to 4096+ (64x64), where the unrolled form OOMs (PARITY r2
+    "Honest scale limit")."""
     ld = jnp.zeros_like(x[:1])  # (1, TILE)
-    steps = range(T - 1, -1, -1) if reverse else range(T)
-    for step in steps:
-        x, v, ld_inc = _trajectory_step(
-            xnet_w, vnet_w, grad_energy, masks, eps, reverse, step, x, v,
-            emb=emb,
+    if not loop:
+        steps = range(T - 1, -1, -1) if reverse else range(T)
+        for step in steps:
+            x, v, ld_inc = _trajectory_step(
+                xnet_w, vnet_w, grad_energy, masks, eps, reverse, step, x, v,
+                emb=emb, cd=cd,
+            )
+            ld += ld_inc
+        return x, v, ld
+
+    def body(i, carry):
+        cx, cv, cld = carry
+        step = (T - 1) - i if reverse else i
+        nx, nv, inc = _trajectory_step(
+            xnet_w, vnet_w, grad_energy, masks, eps, reverse, step, cx, cv,
+            emb=emb, cd=cd,
         )
-        ld += ld_inc
-    return x, v, ld
+        return nx, nv, cld + inc
+
+    return jax.lax.fori_loop(0, T, body, (x, v, ld))
 
 
 def _trajectory_vjp(
     xnet_w, vnet_w, grad_energy, masks, eps, T: int, reverse: bool,
-    x0, v0, dX, dV, dld,
+    x0, v0, dX, dV, dld, emb=None, cd=None,
 ):
     """Hand-rolled rematerialized VJP of :func:`_trajectory`.
 
@@ -165,13 +209,19 @@ def _trajectory_vjp(
     re-runs jax.vjp on ONE step at a time — per-step residuals are recomputed
     and die immediately, keeping VMEM flat in T. The logdet is a sum of
     per-step increments, so every step receives the same ``dld`` cotangent.
+
+    With ``emb`` (the VAE aux embedding, a per-chain constant across steps)
+    its cotangent accumulates across steps and is returned last. Gradients
+    through ``grad_energy`` (including the VAE decoder's Hessian-vector
+    products) come from the same trace-time jax.vjp.
     """
     steps = list(range(T - 1, -1, -1) if reverse else range(T))
     xs, vs = [x0], [v0]
     x, v = x0, v0
     for step in steps:
         x, v, _ = _trajectory_step(
-            xnet_w, vnet_w, grad_energy, masks, eps, reverse, step, x, v
+            xnet_w, vnet_w, grad_energy, masks, eps, reverse, step, x, v,
+            emb=emb, cd=cd,
         )
         xs.append(x)
         vs.append(v)
@@ -180,51 +230,69 @@ def _trajectory_vjp(
     dxw = [jnp.zeros_like(a) for a in xnet_w]
     dvw = [jnp.zeros_like(a) for a in vnet_w]
     deps = jnp.zeros_like(eps)
+    demb = None if emb is None else jnp.zeros_like(emb)
     for i in range(len(steps) - 1, -1, -1):
         step = steps[i]
 
-        def f(xw_, vw_, eps_, x_, v_, _step=step):
-            return _trajectory_step(
-                xw_, vw_, grad_energy, masks, eps_, reverse, _step, x_, v_
-            )
+        if emb is None:
 
-        _, vjp = jax.vjp(f, xnet_w, vnet_w, eps, xs[i], vs[i])
-        dxw_i, dvw_i, deps_i, dx, dv = vjp((dx, dv, dld))
+            def f(xw_, vw_, eps_, x_, v_, _step=step):
+                return _trajectory_step(
+                    xw_, vw_, grad_energy, masks, eps_, reverse, _step,
+                    x_, v_, cd=cd,
+                )
+
+            _, vjp = jax.vjp(f, xnet_w, vnet_w, eps, xs[i], vs[i])
+            dxw_i, dvw_i, deps_i, dx, dv = vjp((dx, dv, dld))
+        else:
+
+            def f(xw_, vw_, eps_, x_, v_, emb_, _step=step):
+                return _trajectory_step(
+                    xw_, vw_, grad_energy, masks, eps_, reverse, _step,
+                    x_, v_, emb=emb_, cd=cd,
+                )
+
+            _, vjp = jax.vjp(f, xnet_w, vnet_w, eps, xs[i], vs[i], emb)
+            dxw_i, dvw_i, deps_i, dx, dv, demb_i = vjp((dx, dv, dld))
+            demb = demb + demb_i
         dxw = [a + b for a, b in zip(dxw, dxw_i)]
         dvw = [a + b for a, b in zip(dvw, dvw_i)]
         deps = deps + deps_i
-    return dxw, dvw, deps, dx, dv
+    if emb is None:
+        return dxw, dvw, deps, dx, dv
+    return dxw, dvw, deps, dx, dv, demb
 
 
 def _trajectory_step(
-    xnet_w, vnet_w, grad_energy, masks, eps, reverse: bool, step: int, x, v,
-    emb=None,
+    xnet_w, vnet_w, grad_energy, masks, eps, reverse: bool, step, x, v,
+    emb=None, cd=None,
 ):
     """One leapfrog substep on transposed (D, TILE) state; returns
-    (x, v, logdet_increment)."""
-    m = masks[:, step : step + 1]  # (D, 1)
+    (x, v, logdet_increment). ``step`` may be a traced index (fori_loop
+    trajectory) — per-step constants are sliced via _col_at."""
+    m = _col_at(masks, step)  # (D, 1)
     mb = 1.0 - m
 
     if not reverse:
         # forward substep (utils/dynamics.py:115-157)
         grad1 = grad_energy(x)
-        s, t, q = _apply_stq(vnet_w, x, grad1, step, emb)
+        s, t, q = _apply_stq(vnet_w, x, grad1, step, emb, cd)
         sv1 = 0.5 * eps * s
         v_h = v * jnp.exp(sv1) + 0.5 * eps * (
             -jnp.exp(eps * q) * grad1 + t
         )
-        s, t, q = _apply_stq(xnet_w, v_h, m * x, step, emb)
+        s, t, q = _apply_stq(xnet_w, v_h, m * x, step, emb, cd)
         sx1 = eps * s
         y = m * x + mb * (
             x * jnp.exp(sx1) + eps * (jnp.exp(eps * q) * v_h + t)
         )
-        s, t, q = _apply_stq(xnet_w, v_h, mb * y, step, emb)
+        s, t, q = _apply_stq(xnet_w, v_h, mb * y, step, emb, cd)
         sx2 = eps * s
         x = mb * y + m * (
             y * jnp.exp(sx2) + eps * (jnp.exp(eps * q) * v_h + t)
         )
         grad2 = grad_energy(x)
-        s, t, q = _apply_stq(vnet_w, x, grad2, step, emb)
+        s, t, q = _apply_stq(vnet_w, x, grad2, step, emb, cd)
         sv2 = 0.5 * eps * s
         v = v_h * jnp.exp(sv2) + 0.5 * eps * (
             -jnp.exp(eps * q) * grad2 + t
@@ -232,23 +300,23 @@ def _trajectory_step(
     else:
         # backward substep (utils/dynamics.py:159-201)
         grad1 = grad_energy(x)
-        s, t, q = _apply_stq(vnet_w, x, grad1, step, emb)
+        s, t, q = _apply_stq(vnet_w, x, grad1, step, emb, cd)
         sv2 = -0.5 * eps * s
         v_h = (
             v - 0.5 * eps * (-jnp.exp(eps * q) * grad1 + t)
         ) * jnp.exp(sv2)
-        s, t, q = _apply_stq(xnet_w, v_h, mb * x, step, emb)
+        s, t, q = _apply_stq(xnet_w, v_h, mb * x, step, emb, cd)
         sx2 = -eps * s
         y = mb * x + m * jnp.exp(sx2) * (
             x - eps * (jnp.exp(eps * q) * v_h + t)
         )
-        s, t, q = _apply_stq(xnet_w, v_h, m * y, step, emb)
+        s, t, q = _apply_stq(xnet_w, v_h, m * y, step, emb, cd)
         sx1 = -eps * s
         x = m * y + mb * jnp.exp(sx1) * (
             y - eps * (jnp.exp(eps * q) * v_h + t)
         )
         grad2 = grad_energy(x)
-        s, t, q = _apply_stq(vnet_w, x, grad2, step, emb)
+        s, t, q = _apply_stq(vnet_w, x, grad2, step, emb, cd)
         sv1 = -0.5 * eps * s
         v = jnp.exp(sv1) * (
             v_h - 0.5 * eps * (-jnp.exp(eps * q) * grad2 + t)
@@ -522,7 +590,7 @@ def _eps_col(eps, dim: int):
     )
 
 
-def _make_kernel(T: int, reverse: bool, spec, n_consts: int):
+def _make_kernel(T: int, reverse: bool, spec, n_consts: int, cd=None):
     """Single-trajectory kernel body; the T-step loop is unrolled at trace
     time with static step indices into the (K, T) per-step constant arrays."""
 
@@ -539,7 +607,7 @@ def _make_kernel(T: int, reverse: bool, spec, n_consts: int):
 
         x, v, ld = _trajectory(
             xnet_w, vnet_w, grad_energy, masks_ref[:], eps, T, reverse,
-            x_ref[:], v_ref[:],
+            x_ref[:], v_ref[:], cd=cd,
         )
         xo_ref[:] = x
         vo_ref[:] = v
@@ -560,12 +628,20 @@ class FusedDynamics:
     spec: Any  # energy spec (QuadraticGaussianEnergy / RoughWellEnergy / ...)
     tile: int = 2048
     interpret: bool = False
+    # S/T/Q matmul operand dtype (config.Precision.compute_dtype; None /
+    # "float32" = full f32). Energies, logdet and state stay f32.
+    compute_dtype: Any = None
 
     def __post_init__(self):
         # cached jitted pallas entry points, keyed by (n, tile, reverse):
         # rebuilding the kernel closure per call would defeat jit's compile
         # cache and recompile the Mosaic program on every invocation
         object.__setattr__(self, "_jit_cache", {})
+
+    def _cd(self):
+        from l2hmc_tpu.config import resolve_compute_dtype
+
+        return resolve_compute_dtype(self.compute_dtype)
 
     def _get_callable(self, n: int, tile: int, reverse: bool):
         key = (n, tile, reverse)
@@ -575,7 +651,7 @@ class FusedDynamics:
         dyn = self.dynamics
         d = dyn.dim
         n_consts = len(self.spec.consts())
-        kernel = _make_kernel(dyn.T, reverse, self.spec, n_consts)
+        kernel = _make_kernel(dyn.T, reverse, self.spec, n_consts, self._cd())
         full = pl.BlockSpec(memory_space=pltpu.VMEM)
         state_spec = pl.BlockSpec(
             (d, tile), lambda i: (0, i), memory_space=pltpu.VMEM
@@ -654,6 +730,8 @@ def fused_for_target(dynamics: Dynamics, target, **kw) -> FusedDynamics:
     (Gaussian family, rough well, GMM — see energy_spec_for_target)."""
     if dynamics.hmc:
         raise ValueError("fused kernel targets the trained sampler path")
+    if getattr(dynamics, "eps_step", False):
+        raise ValueError("fused kernels do not support eps_step (XLA-only)")
     return FusedDynamics(dynamics, energy_spec_for_target(target), **kw)
 
 
@@ -963,7 +1041,8 @@ def _trace_chunk(
 
 
 def _make_chain_kernel(
-    T: int, n_mh_steps: int, collect_trace: bool, tile: int, spec, n_consts: int
+    T: int, n_mh_steps: int, collect_trace: bool, tile: int, spec,
+    n_consts: int, cd=None, loop_traj: bool = False,
 ):
     """K Metropolis-Hastings steps of the full direction-randomized L2HMC
     sampler in ONE kernel launch: momentum/direction/accept randomness from
@@ -1013,10 +1092,12 @@ def _make_chain_kernel(
             x, acc_count = carry
             v = _random_normal(x.shape)
             xf, vf, ldf = _trajectory(
-                xnet_w, vnet_w, grad_energy, masks, eps, T, False, x, v
+                xnet_w, vnet_w, grad_energy, masks, eps, T, False, x, v,
+                cd=cd, loop=loop_traj,
             )
             xb, vb, ldb = _trajectory(
-                xnet_w, vnet_w, grad_energy, masks, eps, T, True, x, v
+                xnet_w, vnet_w, grad_energy, masks, eps, T, True, x, v,
+                cd=cd, loop=loop_traj,
             )
             fwd = (_random_uniform((1, x.shape[1])) < 0.5).astype(x.dtype)
             xp = fwd * xf + (1.0 - fwd) * xb
@@ -1096,9 +1177,23 @@ class FusedChainSampler:
     spec: Any  # in-kernel energy (energy_spec_for_target)
     tile: int = 2048
     interpret: bool = False
+    # S/T/Q matmul operand dtype (config.Precision policy); energies,
+    # Hamiltonians, accept logic and the trace stay f32
+    compute_dtype: Any = None
+    # run the in-kernel T-step trajectories as a fori_loop of ONE substep
+    # (dynamic per-step constant slicing) instead of a trace-time unroll:
+    # flat scoped-VMEM stack in T, lifting the state-dim ceiling past the
+    # unrolled form's ~1024 (phi^4 64x64 = dim 4096). fused_chain_sampler
+    # turns this on automatically for wide states.
+    loop_traj: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "_jit_cache", {})
+
+    def _cd(self):
+        from l2hmc_tpu.config import resolve_compute_dtype
+
+        return resolve_compute_dtype(self.compute_dtype)
 
     def run(
         self,
@@ -1148,7 +1243,8 @@ class FusedChainSampler:
         d = dyn.dim
         n_consts = len(self.spec.consts())
         kernel = _make_chain_kernel(
-            dyn.T, n_mh_steps, collect_trace, tile, self.spec, n_consts
+            dyn.T, n_mh_steps, collect_trace, tile, self.spec, n_consts,
+            self._cd(), self.loop_traj,
         )
         full = pl.BlockSpec(memory_space=pltpu.VMEM)
         state_spec = pl.BlockSpec(
@@ -1217,9 +1313,15 @@ class FusedChainSampler:
 
 def fused_chain_sampler(dynamics: Dynamics, target, **kw) -> FusedChainSampler:
     """Whole-chain fused sampler for any spec-supported target
-    (Gaussian family, rough well, GMM — see energy_spec_for_target)."""
+    (Gaussian family, rough well, GMM — see energy_spec_for_target).
+
+    Wide states (dim >= 2048, e.g. phi^4 64x64) default to the fori_loop
+    trajectory form — the T-unrolled form OOMs scoped VMEM there."""
     if dynamics.hmc:
         raise ValueError("fused kernel targets the trained sampler path")
+    if getattr(dynamics, "eps_step", False):
+        raise ValueError("fused kernels do not support eps_step (XLA-only)")
+    kw.setdefault("loop_traj", dynamics.dim >= 2048)
     return FusedChainSampler(dynamics, energy_spec_for_target(target), **kw)
 
 
@@ -1227,7 +1329,7 @@ def fused_chain_sampler(dynamics: Dynamics, target, **kw) -> FusedChainSampler:
 
 
 @functools.lru_cache(maxsize=None)
-def _make_vae_chain_kernel(T: int, n_mh_steps: int):
+def _make_vae_chain_kernel(T: int, n_mh_steps: int, cd_name: str = ""):
     """K MH steps of the trained VAE posterior sampler in ONE launch.
 
     Unlike the Gaussian kernel, the energy here is the decoder likelihood
@@ -1241,7 +1343,15 @@ def _make_vae_chain_kernel(T: int, n_mh_steps: int):
 
     This is the workload BASELINE.md's "MXU-bound leapfrog at 8192 chains"
     target refers to — the SCG nets are too small to feed the MXU.
+
+    ``cd_name`` ("bfloat16") lowers the decoder + S/T/Q matmul OPERANDS to
+    bf16 single-pass MXU ops with f32 accumulation (config.Precision):
+    the f32 3-pass scheme this replaces costs ~3x MXU passes per matmul.
+    Energies (BCE sum, priors), Hamiltonians, logdet and the accept logic
+    all stay f32 — the bf16 perturbation enters only through net outputs
+    and decoder logits, and acceptance parity is measured (PARITY.md).
     """
+    cd = jnp.dtype(cd_name) if cd_name else None
 
     def kernel(seed_ref, eps_ref, masks_ref, *refs):
         a1, b1, a2, b2, a3, b3 = refs[:6]  # decoder, transposed layout
@@ -1260,8 +1370,7 @@ def _make_vae_chain_kernel(T: int, n_mh_steps: int):
         x_raw = x_raw_ref[:]  # (784, TILE)
         emb = emb_ref[:]  # (H, TILE)
 
-        def dot(a, b):
-            return jnp.dot(a, b, preferred_element_type=jnp.float32)
+        dot = _dot_in(cd)
 
         def decoder(z):
             p1 = dot(A1, z) + B1
@@ -1298,11 +1407,11 @@ def _make_vae_chain_kernel(T: int, n_mh_steps: int):
             v = _random_normal(z.shape)
             zf, vf, ldf = _trajectory(
                 xnet_w, vnet_w, grad_energy, masks, eps, T, False, z, v,
-                emb=emb,
+                emb=emb, cd=cd,
             )
             zb, vb, ldb = _trajectory(
                 xnet_w, vnet_w, grad_energy, masks, eps, T, True, z, v,
-                emb=emb,
+                emb=emb, cd=cd,
             )
             fwd = (_random_uniform((1, z.shape[1])) < 0.5).astype(z.dtype)
             zp = fwd * zf + (1.0 - fwd) * zb
@@ -1329,6 +1438,344 @@ def _make_vae_chain_kernel(T: int, n_mh_steps: int):
     return kernel
 
 
+def _vae_decoder_closures(dec_vals, x_raw, cd=None):
+    """(energy, grad_energy) on the transposed (D, TILE) layout from the
+    flat transposed decoder weight list (the same math as
+    _make_vae_chain_kernel; mnist_vae.py:122-127)."""
+    A1, B1, A2, B2, A3, B3 = dec_vals
+    dot = _dot_in(cd)
+
+    def decoder(z):
+        p1 = dot(A1, z) + B1
+        h1 = jax.nn.softplus(p1)
+        p2 = dot(A2, h1) + B2
+        h2 = jax.nn.softplus(p2)
+        logits = dot(A3, h2) + B3
+        return p1, p2, logits
+
+    def grad_energy(z):
+        p1, p2, logits = decoder(z)
+        d3 = jax.nn.sigmoid(logits) - x_raw
+        d2 = dot(A3.T, d3) * jax.nn.sigmoid(p2)
+        d1 = dot(A2.T, d2) * jax.nn.sigmoid(p1)
+        return dot(A1.T, d1) + z
+
+    def energy(z):
+        *_, logits = decoder(z)
+        bce = jnp.sum(
+            jnp.maximum(logits, 0.0)
+            - logits * x_raw
+            + jnp.log1p(jnp.exp(-jnp.abs(logits))),
+            axis=0,
+            keepdims=True,
+        )
+        return bce + 0.5 * jnp.sum(jnp.square(z), axis=0, keepdims=True)
+
+    return energy, grad_energy
+
+
+def _make_vae_traj_kernel(T: int, reverse: bool, cd_name: str = ""):
+    """Single fused VAE-posterior trajectory (fwd or bwd): decoder energy
+    gradient + aux-conditioned S/T/Q nets in one launch — the primal of the
+    fused VAE TRAINING path (cf. _make_kernel for analytic targets)."""
+    cd = jnp.dtype(cd_name) if cd_name else None
+
+    def kernel(eps_ref, masks_ref, *refs):
+        dec_vals = [r[:] for r in refs[:6]]
+        refs = refs[6:]
+        xnet_w = [r[:] for r in refs[:_NET_ARRAYS]]
+        vnet_w = [r[:] for r in refs[_NET_ARRAYS : 2 * _NET_ARRAYS]]
+        base = 2 * _NET_ARRAYS
+        xraw_ref, emb_ref, z_ref, v_ref = refs[base : base + 4]
+        zo_ref, vo_ref, ld_ref = refs[-3], refs[-2], refs[-1]
+
+        _, grad_energy = _vae_decoder_closures(dec_vals, xraw_ref[:], cd)
+        z, v, ld = _trajectory(
+            xnet_w, vnet_w, grad_energy, masks_ref[:], eps_ref[:], T,
+            reverse, z_ref[:], v_ref[:], emb=emb_ref[:], cd=cd,
+        )
+        zo_ref[:] = z
+        vo_ref[:] = v
+        ld_ref[:] = ld
+
+    return kernel
+
+
+def _make_vae_bwd_kernel(T: int, reverse: bool, cd_name: str = ""):
+    """Recompute+reverse kernel of the fused VAE trajectory (cf.
+    _make_bwd_kernel): per-step jax.vjp at trace time, VMEM flat in T.
+    Differentiates wrt (xnet_w, vnet_w, eps, z, v, emb) — emb carries the
+    sampler's aux-encoder gradient (mnist_vae.py:134-140); decoder weights
+    receive NO cotangent here because the reference's sampler loss
+    stop-gradients the decoder (mnist_vae.py:254-265), enforced upstream.
+    The decoder's Hessian-vector products (second order through
+    grad_energy) come from the same trace-time AD.
+    """
+    cd = jnp.dtype(cd_name) if cd_name else None
+
+    def kernel(eps_ref, masks_ref, *refs):
+        dec_vals = [r[:] for r in refs[:6]]
+        refs = refs[6:]
+        xnet_w = [r[:] for r in refs[:_NET_ARRAYS]]
+        vnet_w = [r[:] for r in refs[_NET_ARRAYS : 2 * _NET_ARRAYS]]
+        base = 2 * _NET_ARRAYS
+        (xraw_ref, emb_ref, z_ref, v_ref, dZ_ref, dV_ref, dld_ref) = refs[
+            base : base + 7
+        ]
+        outs = refs[base + 7 :]
+        dxw_refs = outs[:_NET_ARRAYS]
+        dvw_refs = outs[_NET_ARRAYS : 2 * _NET_ARRAYS]
+        deps_ref, demb_ref, dz_ref, dv_ref = outs[-4], outs[-3], outs[-2], outs[-1]
+
+        _, grad_energy = _vae_decoder_closures(dec_vals, xraw_ref[:], cd)
+        dxw, dvw, deps, dz, dv, demb = _trajectory_vjp(
+            xnet_w, vnet_w, grad_energy, masks_ref[:], eps_ref[:], T,
+            reverse, z_ref[:], v_ref[:], dZ_ref[:], dV_ref[:], dld_ref[:],
+            emb=emb_ref[:], cd=cd,
+        )
+        dz_ref[:] = dz
+        dv_ref[:] = dv
+        demb_ref[:] = demb
+
+        pid = pl.program_id(0)
+        for ref, g in zip(
+            list(dxw_refs) + list(dvw_refs) + [deps_ref],
+            list(dxw) + list(dvw) + [deps],
+        ):
+            _accumulate(ref, g, pid)
+
+    return kernel
+
+
+@dataclasses.dataclass(frozen=True)
+class DifferentiableFusedVae:
+    """Training-path fused trajectories for the VAE posterior sampler.
+
+    Duck-types the Dynamics surface ``mcmc.propose`` consumes
+    (forward/backward/p_accept/eps/hmc) with ``aux={"raw","emb","dec"}``
+    exactly as apps/vae.py threads it, so the VAE train step
+    (vae.make_train_step, mnist_vae.py:185-220 semantics) differentiates
+    through ONE forward + ONE backward Mosaic launch per trajectory.
+    custom_vjp boundary: (xnet_w, vnet_w, eps, emb, z, v) — gradients flow
+    to the S/T/Q nets, alpha, and the shared aux encoder; the decoder is
+    stop-gradiented (zero cotangent), matching the reference's per-group
+    train ops (mnist_vae.py:254-265).
+
+    The measured A/B against the XLA train path at VAE scale is this
+    class's shipping gate (VaeConfig.fused_train) — same discipline as
+    ScgConfig.fused_train's honest negative.
+    """
+
+    dynamics: Dynamics  # apps/vae.py build_dynamics
+    tile: int = 256
+    interpret: bool = False
+    compute_dtype: str = ""
+    hmc: bool = dataclasses.field(default=False, init=False)
+
+    def __post_init__(self):
+        object.__setattr__(self, "_traj_cache", {})
+        object.__setattr__(self, "_fwd_call_cache", {})
+        object.__setattr__(self, "_bwd_call_cache", {})
+
+    # -- Dynamics surface ---------------------------------------------------
+
+    @property
+    def energy(self):
+        return self.dynamics.energy
+
+    def eps(self, params):
+        return self.dynamics.eps(params)
+
+    def p_accept(self, params, x0, v0, x1, v1, log_jac, **kw):
+        return self.dynamics.p_accept(params, x0, v0, x1, v1, log_jac, **kw)
+
+    def forward(self, params, z, v, *, aux=None, **kw):
+        return self._run(params, z, v, aux, reverse=False)
+
+    def backward(self, params, z, v, *, aux=None, **kw):
+        return self._run(params, z, v, aux, reverse=True)
+
+    def _run(self, params, z, v, aux, *, reverse: bool):
+        dyn = self.dynamics
+        xw = _extract_net(params["xnet"], dyn.times)
+        vw = _extract_net(params["vnet"], dyn.times)
+        eps = _eps_col(dyn.eps(params), dyn.dim)
+
+        def col(b):
+            return b.reshape(-1, 1)
+
+        lin1, _, lin2, _, lin3 = aux["dec"]
+        dec = [
+            lin1["w"].T, col(lin1["b"]),
+            lin2["w"].T, col(lin2["b"]),
+            lin3["w"].T, col(lin3["b"]),
+        ]
+        # decoder is stop-gradiented in the sampler loss (mnist_vae.py:
+        # 254-265); enforce here so the custom_vjp can skip its cotangent
+        dec = jax.tree_util.tree_map(jax.lax.stop_gradient, dec)
+        x_raw = jax.lax.stop_gradient(aux["raw"])
+        return self._traj(reverse)(xw, vw, eps, aux["emb"], dec, x_raw, z, v)
+
+    # -- custom_vjp plumbing ------------------------------------------------
+
+    def _traj(self, reverse: bool):
+        fn = self._traj_cache.get(reverse)
+        if fn is not None:
+            return fn
+
+        def primal(xw, vw, eps, emb, dec, x_raw, z, v):
+            n = z.shape[0]
+            tile = min(self.tile, n)
+            if n % tile != 0:
+                raise ValueError(
+                    f"n_chains {n} must be divisible by tile {tile}"
+                )
+            call = self._get_fwd_callable(
+                n, tile, emb.shape[1], reverse
+            )
+            zo, vo, ld = call(
+                eps, jnp.asarray(self.dynamics.masks.T, jnp.float32),
+                dec, xw, vw, x_raw.T, emb.T, z.T, v.T,
+            )
+            return zo.T, vo.T, ld[0]
+
+        @jax.custom_vjp
+        def traj(xw, vw, eps, emb, dec, x_raw, z, v):
+            return primal(xw, vw, eps, emb, dec, x_raw, z, v)
+
+        def traj_fwd(xw, vw, eps, emb, dec, x_raw, z, v):
+            return primal(xw, vw, eps, emb, dec, x_raw, z, v), (
+                xw, vw, eps, emb, dec, x_raw, z, v,
+            )
+
+        def traj_bwd(res, cot):
+            xw, vw, eps, emb, dec, x_raw, z, v = res
+            dZ, dV, dld = cot
+            n = z.shape[0]
+            tile = min(self.tile, n)
+            call = self._get_bwd_callable(n, tile, emb.shape[1], reverse)
+            out = call(
+                eps, jnp.asarray(self.dynamics.masks.T, jnp.float32),
+                dec, xw, vw, x_raw.T, emb.T, z.T, v.T,
+                dZ.T, dV.T, dld[None, :],
+            )
+            dxw = list(out[:_NET_ARRAYS])
+            dvw = list(out[_NET_ARRAYS : 2 * _NET_ARRAYS])
+            deps, dembT, dzT, dvT = out[-4], out[-3], out[-2], out[-1]
+            zero_dec = jax.tree_util.tree_map(jnp.zeros_like, dec)
+            return (
+                dxw, dvw, deps, dembT.T, zero_dec,
+                jnp.zeros_like(x_raw), dzT.T, dvT.T,
+            )
+
+        traj.defvjp(traj_fwd, traj_bwd)
+        self._traj_cache[reverse] = traj
+        return traj
+
+    def _get_fwd_callable(self, n, tile, emb_dim, reverse):
+        key = (n, tile, emb_dim, reverse)
+        fn = self._fwd_call_cache.get(key)
+        if fn is not None:
+            return fn
+        d = self.dynamics.dim
+        kernel = _make_vae_traj_kernel(
+            self.dynamics.T, reverse, self.compute_dtype or ""
+        )
+        full = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+        def chains_spec(rows):
+            return pl.BlockSpec(
+                (rows, tile), lambda i: (0, i), memory_space=pltpu.VMEM
+            )
+
+        n_weights = 2 * _NET_ARRAYS
+
+        @jax.jit
+        def call(eps, masks, dec, xw, vw, xrT, embT, zT, vT):
+            return pl.pallas_call(
+                kernel,
+                grid=(n // tile,),
+                in_specs=[
+                    full, full, *([full] * 6), *([full] * n_weights),
+                    chains_spec(xrT.shape[0]),
+                    chains_spec(embT.shape[0]),
+                    chains_spec(d),
+                    chains_spec(d),
+                ],
+                out_specs=(chains_spec(d), chains_spec(d), chains_spec(1)),
+                out_shape=(
+                    jax.ShapeDtypeStruct((d, n), jnp.float32),
+                    jax.ShapeDtypeStruct((d, n), jnp.float32),
+                    jax.ShapeDtypeStruct((1, n), jnp.float32),
+                ),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024
+                ),
+                interpret=self.interpret,
+            )(eps, masks, *dec, *xw, *vw, xrT, embT, zT, vT)
+
+        self._fwd_call_cache[key] = call
+        return call
+
+    def _get_bwd_callable(self, n, tile, emb_dim, reverse):
+        key = (n, tile, emb_dim, reverse)
+        fn = self._bwd_call_cache.get(key)
+        if fn is not None:
+            return fn
+        d = self.dynamics.dim
+        kernel = _make_vae_bwd_kernel(
+            self.dynamics.T, reverse, self.compute_dtype or ""
+        )
+        full = pl.BlockSpec(memory_space=pltpu.VMEM)
+        acc_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+        def chains_spec(rows):
+            return pl.BlockSpec(
+                (rows, tile), lambda i: (0, i), memory_space=pltpu.VMEM
+            )
+
+        n_weights = 2 * _NET_ARRAYS
+
+        @jax.jit
+        def call(eps, masks, dec, xw, vw, xrT, embT, zT, vT, dZT, dVT, dldT):
+            grad_shapes = (
+                [jax.ShapeDtypeStruct(a.shape, jnp.float32) for a in xw]
+                + [jax.ShapeDtypeStruct(a.shape, jnp.float32) for a in vw]
+                + [
+                    jax.ShapeDtypeStruct((d, 1), jnp.float32),  # deps
+                    jax.ShapeDtypeStruct((emb_dim, n), jnp.float32),  # demb
+                    jax.ShapeDtypeStruct((d, n), jnp.float32),  # dz
+                    jax.ShapeDtypeStruct((d, n), jnp.float32),  # dv
+                ]
+            )
+            return pl.pallas_call(
+                kernel,
+                grid=(n // tile,),
+                in_specs=[
+                    full, full, *([full] * 6), *([full] * n_weights),
+                    chains_spec(xrT.shape[0]),
+                    chains_spec(embT.shape[0]),
+                    chains_spec(d),
+                    chains_spec(d),
+                    chains_spec(d),  # dZ
+                    chains_spec(d),  # dV
+                    chains_spec(1),  # dld
+                ],
+                out_specs=tuple(
+                    [acc_spec] * (n_weights + 1)
+                    + [chains_spec(emb_dim), chains_spec(d), chains_spec(d)]
+                ),
+                out_shape=tuple(grad_shapes),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024
+                ),
+                interpret=self.interpret,
+            )(eps, masks, *dec, *xw, *vw, xrT, embT, zT, vT, dZT, dVT, dldT)
+
+        self._bwd_call_cache[key] = call
+        return call
+
+
 @dataclasses.dataclass(frozen=True)
 class FusedVaeSampler:
     """Whole-chain fused sampler for the trained VAE posterior
@@ -1339,6 +1786,9 @@ class FusedVaeSampler:
     dynamics: Dynamics  # the VAE sampler dynamics (apps/vae.py build_dynamics)
     tile: int = 512
     interpret: bool = False
+    # decoder + S/T/Q matmul operand dtype ("bfloat16" for single-pass MXU;
+    # "" / None = f32 3-pass). Energies/Hamiltonians/accept stay f32.
+    compute_dtype: str = ""
 
     def __post_init__(self):
         object.__setattr__(self, "_jit_cache", {})
@@ -1388,7 +1838,9 @@ class FusedVaeSampler:
             return fn
         dyn = self.dynamics
         d = dyn.dim
-        kernel = _make_vae_chain_kernel(dyn.T, n_mh_steps)
+        kernel = _make_vae_chain_kernel(
+            dyn.T, n_mh_steps, self.compute_dtype or ""
+        )
         full = pl.BlockSpec(memory_space=pltpu.VMEM)
 
         def chains_spec(rows):

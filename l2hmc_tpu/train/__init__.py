@@ -5,6 +5,7 @@ from l2hmc_tpu.train.scg import (
     TrainState,
     build_dynamics,
     evaluate_ess,
+    evaluate_trained,
     hmc_sample_chain,
     init_state,
     make_optimizer,
@@ -20,6 +21,7 @@ __all__ = [
     "TrainState",
     "build_dynamics",
     "evaluate_ess",
+    "evaluate_trained",
     "hmc_sample_chain",
     "init_state",
     "make_optimizer",

@@ -56,6 +56,16 @@ class ScgConfig:
     # diagonal preconditioner. Rebuild-only extension — the reference eps is
     # scalar — so suite numbers keep it off unless explicitly noted.
     eps_dim: bool = False
+    # per-leapfrog-step trainable step size (Dynamics.eps_step): a learned
+    # (T,) schedule over the trajectory. Rebuild-only; XLA path only.
+    eps_step: bool = False
+    # acceptance-targeted penalty: loss += accept_penalty *
+    # mean((p_accept - accept_target)^2). Attacks the shrink-to-accept
+    # plateau (ICG trains to acceptance ~1 = step-timid, VERDICT r2 weak
+    # #1): pushing acceptance toward the paper's ~0.5-0.7 band forces
+    # larger integrator steps than the raw ESJD objective settles for.
+    accept_penalty: float = 0.0
+    accept_target: float = 0.65
     # include the notebook's auxiliary burn-in term (fresh z ~ N(0, I)
     # proposals, cell 9). On wide-scale targets (paper ICG, sigma up to 10)
     # the z-chains start far outside the typical set; their distance term
@@ -106,6 +116,13 @@ class ScgConfig:
     # the balance differs.
     fused_train: bool = False
     fused_tile: int = 1024
+    # net-internal matmul operand dtype ("float32" | "bfloat16"): the
+    # config.Precision.compute_dtype policy, plumbed into the S/T/Q nets
+    # (nets.core.linear) and the fused kernels. Accumulation, params, chain
+    # state, energies and logdets stay float32; invertibility is exact for
+    # any value (forward/backward recompute identical net outputs). String,
+    # so the config JSON-serializes for checkpoints.
+    compute_dtype: str = "float32"
 
 
 class TrainState(NamedTuple):
@@ -119,8 +136,14 @@ class TrainState(NamedTuple):
 def build_dynamics(config: ScgConfig, target=None) -> tuple[Dynamics, Any]:
     """Dynamics + target for the SCG experiment (notebook cells 3, 5)."""
     target = targets.scg_gaussian() if target is None else target
-    xnet = nets.scg_net_factory(config.dim, factor=2.0, hidden=config.hidden)
-    vnet = nets.scg_net_factory(config.dim, factor=1.0, hidden=config.hidden)
+    xnet = nets.scg_net_factory(
+        config.dim, factor=2.0, hidden=config.hidden,
+        compute_dtype=config.compute_dtype,
+    )
+    vnet = nets.scg_net_factory(
+        config.dim, factor=1.0, hidden=config.hidden,
+        compute_dtype=config.compute_dtype,
+    )
     input_scale = None
     if config.net_input_whiten:
         sig = np.asarray(getattr(target, "sigma", None))
@@ -139,6 +162,7 @@ def build_dynamics(config: ScgConfig, target=None) -> tuple[Dynamics, Any]:
         mask_seed=config.mask_seed,
         eps_trainable=config.eps_trainable,
         eps_dim=config.eps_dim,
+        eps_step=config.eps_step,
         use_temperature=config.init_temperature > 1.0,
         input_scale=input_scale,
     )
@@ -214,6 +238,10 @@ def make_train_step(
             loss = mcmc.loss_mixed(
                 whiten(x), whiten(out_x.x_prop), out_x.p_accept,
                 scale=config.scale,
+            )
+        if config.accept_penalty > 0:
+            loss = loss + config.accept_penalty * jnp.square(
+                jnp.mean(out_x.p_accept) - config.accept_target
             )
         return loss, (out_x.x_next, out_x.p_accept)
 
@@ -380,30 +408,28 @@ def evaluate_ess(
     return float(ess(spectrum))
 
 
-def run_experiment(
-    config: ScgConfig = ScgConfig(),
+def evaluate_trained(
+    config: ScgConfig,
+    params,
     *,
+    target=None,
     eval_steps: int = 2000,
     hmc_eps: float = 0.15,
-    log_every: int = 0,
 ) -> dict:
-    """Full notebook reproduction: train, then eval L2HMC vs HMC ESS
-    (cells 12-21). Returns a metrics dict including the headline ESS ratio
-    (BASELINE.md: reference ratio 46x)."""
+    """Notebook eval protocol (cells 14-21) on given sampler params.
+
+    Standalone so a checkpoint restored from disk evaluates identically to
+    the in-memory run — the config (with its ``mask_seed``) rebuilds the
+    exact dynamics, replacing the reference's restore-then-scrape-the-graph
+    flow (reference eval_sampler.py:52-59,164-166)."""
     import time
 
-    dynamics, target = build_dynamics(config)
-
-    t0 = time.perf_counter()
-    state, history = train(config, log_every=log_every)
-    jax.block_until_ready(state.params)
-    train_time = time.perf_counter() - t0
-
+    dynamics, target = build_dynamics(config, target)
     key = jax.random.key(config.seed + 1)
     x0 = target.sample(key, config.n_chains)
     t1 = time.perf_counter()
     _, l2hmc_trace = sample_chain(
-        dynamics, state.params, x0, eval_steps, jax.random.key(config.seed + 2)
+        dynamics, params, x0, eval_steps, jax.random.key(config.seed + 2)
     )
     jax.block_until_ready(l2hmc_trace)
     eval_time = time.perf_counter() - t1
@@ -418,9 +444,38 @@ def run_experiment(
         "ess_l2hmc": ess_l2hmc,
         "ess_hmc": ess_hmc,
         "ess_ratio": ess_l2hmc / max(ess_hmc, 1e-12),
-        "final_loss": float(history["loss"][-1]),
-        "final_accept": float(history["p_accept"][-100:].mean()),
-        "train_time_s": train_time,
         "eval_time_s": eval_time,
-        "history": history,
     }
+
+
+def run_experiment(
+    config: ScgConfig = ScgConfig(),
+    *,
+    eval_steps: int = 2000,
+    hmc_eps: float = 0.15,
+    log_every: int = 0,
+    return_state: bool = False,
+):
+    """Full notebook reproduction: train, then eval L2HMC vs HMC ESS
+    (cells 12-21). Returns a metrics dict including the headline ESS ratio
+    (BASELINE.md: reference ratio 46x); with ``return_state`` returns
+    (metrics, final TrainState) so callers can checkpoint it."""
+    import time
+
+    t0 = time.perf_counter()
+    state, history = train(config, log_every=log_every)
+    jax.block_until_ready(state.params)
+    train_time = time.perf_counter() - t0
+
+    metrics = evaluate_trained(
+        config, state.params, eval_steps=eval_steps, hmc_eps=hmc_eps
+    )
+    metrics.update(
+        final_loss=float(history["loss"][-1]),
+        final_accept=float(history["p_accept"][-100:].mean()),
+        train_time_s=train_time,
+        history=history,
+    )
+    if return_state:
+        return metrics, state
+    return metrics

@@ -170,6 +170,7 @@ def test_fused_chain_sampler_exact_parity(setup):
     )
 
 
+@pytest.mark.slow
 def test_fused_chain_sampler_trace():
     """Trace-emitting kernel: the chunked VMEM->HBM trace matches the
     non-traced run bit-for-bit (same seed) and its last row is the final
@@ -201,6 +202,7 @@ def test_fused_chain_sampler_trace():
     assert np.abs(np.asarray(trace[10]) - np.asarray(trace[-1])).max() > 0
 
 
+@pytest.mark.slow
 def test_differentiable_fused_grad_parity(setup):
     """custom_vjp fused trajectory: gradients wrt every parameter (both
     nets, alpha) and wrt (x, v) match jax.grad of the XLA path. The backward
@@ -233,6 +235,7 @@ def test_differentiable_fused_grad_parity(setup):
         )
 
 
+@pytest.mark.slow
 def test_fused_train_matches_xla_training():
     """End-to-end: 60 training steps with fused_train=True reproduce the
     XLA path's loss/acceptance/eps trajectory (same seeds, same RNG)."""
@@ -413,3 +416,59 @@ def test_fused_vae_sampler_exact_parity():
     np.testing.assert_allclose(
         np.asarray(z1), np.asarray(z), rtol=2e-4, atol=2e-4
     )
+
+
+@pytest.mark.slow
+def test_differentiable_fused_vae_grad_parity():
+    """Fused VAE training path (DifferentiableFusedVae): forward/backward
+    trajectories AND gradients wrt sampler params (both nets, alpha) and the
+    aux embedding match jax.grad of the XLA path — including second-order
+    terms through the in-kernel decoder energy gradient. Decoder cotangent
+    is zero by design (stop-gradient, mnist_vae.py:254-265)."""
+    from l2hmc_tpu.apps import vae
+    from l2hmc_tpu.ops import DifferentiableFusedVae
+
+    cfg = vae.VaeConfig(
+        latent_dim=8, leapfrogs=3, enc_hidden=32,
+        sampler_size1=16, sampler_size2=16, seed=0,
+    )
+    model = vae.VaeModel.build(cfg)
+    params = model.init_params(jax.random.key(0))
+    n = 64
+    x_raw = (jax.random.uniform(jax.random.key(1), (n, 784)) < 0.3).astype(
+        jnp.float32
+    )
+    z0 = jax.random.normal(jax.random.key(2), (n, cfg.latent_dim), jnp.float32)
+    v0 = jax.random.normal(jax.random.key(3), (n, cfg.latent_dim), jnp.float32)
+
+    fd = DifferentiableFusedVae(model.dynamics, tile=32, interpret=True)
+
+    def loss(d, smp, dec):
+        emb = model.aux_encoder.apply(smp["aux_enc"], x_raw)
+        aux = {"raw": x_raw, "emb": emb, "dec": dec}
+        Z, V, ld = d.forward(smp, z0, v0, aux=aux)
+        Zb, Vb, ldb = d.backward(smp, z0, v0, aux=aux)
+        return (
+            jnp.mean(Z * Zb) + jnp.mean(V + Vb) + jnp.mean(ld - 2.0 * ldb)
+            + jnp.mean(d.p_accept(smp, z0, v0, Z, V, ld, aux=aux))
+        )
+
+    # primal parity
+    l_r = float(loss(model.dynamics, params["smp"], params["dec"]))
+    l_f = float(loss(fd, params["smp"], params["dec"]))
+    assert abs(l_r - l_f) < 1e-4
+
+    g_r = jax.grad(loss, argnums=1)(model.dynamics, params["smp"], params["dec"])
+    g_f = jax.grad(loss, argnums=1)(fd, params["smp"], params["dec"])
+    flat_r, flat_f = (
+        jax.tree_util.tree_leaves(g_r), jax.tree_util.tree_leaves(g_f)
+    )
+    assert len(flat_r) == len(flat_f)
+    nonzero = 0
+    for a, b in zip(flat_r, flat_f):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-6
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=0, atol=3e-3 * scale
+        )
+        nonzero += int(float(jnp.max(jnp.abs(a))) > 0)
+    assert nonzero > 10  # aux_enc + nets + alpha all receive gradient

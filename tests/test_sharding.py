@@ -121,3 +121,156 @@ def test_fold_in_chain_keys(key):
     # distinct streams per chain
     draws = jax.vmap(lambda k: jax.random.normal(k, ()))(ks)
     assert len(np.unique(np.asarray(draws))) == 16
+
+
+# -- fused Pallas kernels under the mesh (VERDICT r2 missing #1) --------------
+
+
+@pytest.fixture(scope="module")
+def fused_setup():
+    cfg = ScgConfig(n_chains=128, T=3)
+    dyn, target = build_dynamics(cfg)
+    params = dyn.init_params(jax.random.key(0), eps=0.1)
+    params = jax.tree_util.tree_map(
+        lambda a: a + 0.03 * jnp.ones_like(a) if a.ndim >= 1 else a, params
+    )
+    x = jax.random.normal(jax.random.key(1), (128, 2), jnp.float32)
+    return dyn, target, params, x
+
+
+def test_sharded_fused_trajectory_matches_unsharded(mesh, fused_setup):
+    """Each device launches the fused trajectory kernel on its chain shard;
+    result equals the single-device fused launch (deterministic kernel,
+    same per-tile shapes -> bitwise)."""
+    from l2hmc_tpu.ops import fused_for_target, sharded_trajectory
+
+    dyn, target, params, x = fused_setup
+    v = jax.random.normal(jax.random.key(2), x.shape, jnp.float32)
+    fused = fused_for_target(dyn, target, tile=16, interpret=True)
+
+    Xp, Vp, ldp = fused.forward(params, x, v)
+    Xs, Vs, lds = sharded_trajectory(
+        fused, mesh, params, parallel.shard_chains(mesh, x),
+        parallel.shard_chains(mesh, v),
+    )
+    assert Xs.sharding.is_equivalent_to(parallel.chain_sharding(mesh), 2)
+    np.testing.assert_array_equal(np.asarray(Xs), np.asarray(Xp))
+    np.testing.assert_array_equal(np.asarray(Vs), np.asarray(Vp))
+    np.testing.assert_array_equal(np.asarray(lds), np.asarray(ldp))
+
+
+def test_sharded_fused_chain_matches_unsharded(mesh, fused_setup):
+    """Whole-chain sampler kernel under shard_map: per-device seed offset
+    reproduces the unsharded per-tile seed layout, so sharded == unsharded
+    including the emitted trace."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from l2hmc_tpu.ops import fused_chain_sampler, sharded_chain_run
+
+    dyn, target, params, x = fused_setup
+    sampler = fused_chain_sampler(dyn, target, tile=16)
+    with pltpu.force_tpu_interpret_mode():
+        xp, accp, trp = sampler.run(
+            params, x, seed=7, n_mh_steps=4, collect_trace=True
+        )
+        xs, accs, trs = sharded_chain_run(
+            sampler, mesh, params, parallel.shard_chains(mesh, x), seed=7,
+            n_mh_steps=4, collect_trace=True,
+        )
+    np.testing.assert_array_equal(np.asarray(xs), np.asarray(xp))
+    np.testing.assert_array_equal(np.asarray(accs), np.asarray(accp))
+    np.testing.assert_array_equal(np.asarray(trs), np.asarray(trp))
+
+
+def test_sharded_fused_rejects_indivisible(mesh, fused_setup):
+    from l2hmc_tpu.ops import fused_chain_sampler, sharded_chain_run
+
+    dyn, target, params, _ = fused_setup
+    sampler = fused_chain_sampler(dyn, target, tile=16)
+    x_bad = jnp.zeros((12, 2))  # 12 % 8 != 0
+    with pytest.raises(ValueError, match="not divisible by mesh"):
+        sharded_chain_run(sampler, mesh, params, x_bad, seed=0, n_mh_steps=1)
+
+
+def test_sharded_fused_vae_matches_unsharded(mesh):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from l2hmc_tpu.apps import vae
+    from l2hmc_tpu.ops import FusedVaeSampler, sharded_vae_run
+
+    cfg = vae.VaeConfig(
+        latent_dim=4, leapfrogs=2, enc_hidden=16, sampler_size1=8,
+        sampler_size2=8,
+    )
+    model = vae.VaeModel.build(cfg)
+    params = model.init_params(jax.random.key(0))
+    n = 16
+    x_raw = jnp.asarray(
+        np.random.default_rng(0).random((n, 784)) < 0.2, jnp.float32
+    )
+    emb = model.aux_encoder.apply(params["smp"]["aux_enc"], x_raw)
+    z0 = jax.random.normal(jax.random.key(1), (n, cfg.latent_dim), jnp.float32)
+    sampler = FusedVaeSampler(model.dynamics, tile=2)
+
+    with pltpu.force_tpu_interpret_mode():
+        zp, accp = sampler.run(
+            params["smp"], params["dec"], x_raw, emb, z0, seed=3, n_mh_steps=2
+        )
+        zs, accs = sharded_vae_run(
+            sampler, mesh, params["smp"], params["dec"],
+            parallel.shard_chains(mesh, x_raw),
+            parallel.shard_chains(mesh, emb),
+            parallel.shard_chains(mesh, z0), seed=3, n_mh_steps=2,
+        )
+    np.testing.assert_array_equal(np.asarray(zs), np.asarray(zp))
+    np.testing.assert_array_equal(np.asarray(accs), np.asarray(accp))
+
+
+# -- sharded AIS / parallel tempering (VERDICT r2 item 8) ---------------------
+
+
+def test_sharded_ais_matches_unsharded(mesh, key):
+    """ais_estimate under chain sharding: identical RNG streams
+    (partitionable threefry) -> the sharded logmeanexp reduction (a mesh
+    collective) matches the unsharded estimate. Backs the docstring claim
+    at evals/ais.py:8-9."""
+    from l2hmc_tpu.evals.ais import ais_estimate, standard_normal_energy
+    from l2hmc_tpu.targets import scg_gaussian
+
+    target = scg_gaussian()
+    x0 = jax.random.normal(jax.random.key(3), (64, 2), jnp.float32)
+
+    def run(x):
+        return ais_estimate(
+            key, standard_normal_energy, target.energy, 20, x,
+            step_size=0.15, leapfrogs=3, num_splits=4,
+        )
+
+    est_p, acc_p = jax.jit(run)(x0)
+    est_s, acc_s = jax.jit(run)(parallel.shard_chains(mesh, x0))
+    np.testing.assert_allclose(float(est_s), float(est_p), rtol=1e-5)
+    np.testing.assert_allclose(float(acc_s), float(acc_p), rtol=1e-5)
+
+
+def test_sharded_pt_matches_unsharded(mesh, key):
+    """pt_sample_chain with the chain axis (axis 1 of the (K, n, d) replica
+    state) sharded over the mesh == unsharded."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from l2hmc_tpu.mcmc.tempering import geometric_temps, pt_hmc_sample_chain
+    from l2hmc_tpu.targets import mog2
+
+    target = mog2(distance=2.0, var=0.5)
+    temps = geometric_temps(8.0, 4)
+    x0 = jax.random.normal(jax.random.key(5), (4, 32, 2), jnp.float32)
+
+    _, trace_p = pt_hmc_sample_chain(target, 0.2, 3, x0, temps, 10, key)
+    x0_sharded = jax.device_put(
+        x0, NamedSharding(mesh, P(None, parallel.CHAIN_AXIS))
+    )
+    _, trace_s = pt_hmc_sample_chain(
+        target, 0.2, 3, x0_sharded, temps, 10, key
+    )
+    np.testing.assert_allclose(
+        np.asarray(trace_p), np.asarray(trace_s), rtol=1e-6, atol=1e-6
+    )

@@ -10,6 +10,10 @@ import pytest
 
 from l2hmc_tpu.train import ScgConfig, run_experiment, train
 
+# end-to-end integration runs: minutes on the 1-core CPU CI box; the
+# fast unit oracles live elsewhere (pytest -m 'not slow' ~ minutes total)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def short_run():

@@ -12,6 +12,10 @@ import pytest
 
 from l2hmc_tpu.apps import baseline_vae, data as data_lib, eval_sampler, eval_vae, vae
 
+# end-to-end integration runs: minutes on the 1-core CPU CI box; the
+# fast unit oracles live elsewhere (pytest -m 'not slow' ~ minutes total)
+pytestmark = pytest.mark.slow
+
 
 TINY = vae.VaeConfig(
     epochs=1,
