@@ -97,10 +97,11 @@ def run(
             from l2hmc_tpu.ops import fused_chain_sampler
 
             # dim-aware tile, floor 128 (the Pallas lane width — smaller
-            # tiles are rejected unless tile == n_chains). Measured scope:
-            # dim 1024 fits comfortably; dim 4096 OOMs scoped VMEM even at
-            # the minimum legal tile (the T-unrolled trajectory stack), so
-            # the except below falls back to the XLA scan there.
+            # tiles are rejected unless tile == n_chains). Wide states
+            # (dim >= 2048, e.g. 64x64) automatically use the fori_loop
+            # trajectory form (fused_chain_sampler loop_traj) whose
+            # scoped-VMEM stack is flat in T; the except below still
+            # falls back to the XLA scan on any kernel failure.
             tile = min(256, n_chains)
             while tile > 128 and target.dim * tile * 4 > 1024 * 1024:
                 tile //= 2

@@ -20,7 +20,13 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
+import sys
 import time
+
+# runnable as `python tools/bench_vae_kernel.py` even when PYTHONPATH is
+# claimed by the TPU shim: put the repo root on sys.path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -1,0 +1,85 @@
+"""Round-3 ICG plateau experiments (VERDICT r2 item 5).
+
+The suite ICG recipe (whitened x-only ESJD, hidden 100, T=10) trains to
+acceptance ~0.996 — the shrink-to-accept signature — and plateaus at ~8-12x
+best-vs-best ESS over tuned HMC vs the paper's 106x (arXiv 1711.09268 §5.1,
+condition-1e4 50-d Gaussian). This driver attacks the plateau along the
+acceptance axis:
+
+  A. acceptance-targeted penalty (ScgConfig.accept_penalty) pushing the
+     trained sampler toward the paper's ~0.5-0.7 band,
+  B. per-leapfrog-step eps schedule (Dynamics.eps_step),
+  C. longer training / raw-scale loss,
+  D. combinations with per-dimension eps.
+
+Each experiment reuses the suite's full protocol (train + best-vs-best HMC
+grid scoring) so numbers are comparable to suite_results.json. Results
+append to icg_r3.json after every run (crash-safe).
+
+Usage (TPU, run alone): python tools/icg_r3.py [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+EXPERIMENTS = [
+    # (name, overrides) — on top of the suite's icg recipe
+    ("baseline_r2", {}),
+    ("accept_pen5", {"accept_penalty": 5.0}),
+    ("accept_pen20", {"accept_penalty": 20.0}),
+    ("accept_pen5_t05", {"accept_penalty": 5.0, "accept_target": 0.5}),
+    ("eps_step", {"eps_step": True}),
+    ("eps_dim_pen5", {"eps_dim": True, "accept_penalty": 5.0}),
+    ("long20k", {"n_steps": 20000}),
+    ("long20k_pen5", {"n_steps": 20000, "accept_penalty": 5.0}),
+]
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--quick", action="store_true",
+                   help="tiny budgets (CPU smoke)")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--only", type=str, nargs="*", default=None)
+    p.add_argument("--out", type=str, default="icg_r3.json")
+    args = p.parse_args()
+
+    from l2hmc_tpu.apps import suite
+
+    results = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            results = json.load(f)
+
+    for name, ov in EXPERIMENTS:
+        if args.only and name not in args.only:
+            continue
+        key = f"{name}_seed{args.seed}"
+        if key in results:
+            print(f"skip {key} (done: {results[key]['ess_ratio']:.2f}x)")
+            continue
+        kw = dict(ov)
+        if args.quick:
+            kw.update(n_steps=50, n_chains=64, eval_steps=60)
+        print(f"=== {key}: {kw}")
+        r = suite.run_target("icg", seed=args.seed, **kw)
+        keep = {k: r[k] for k in (
+            "ess_l2hmc", "ess_hmc", "ess_ratio", "ess_ratio_at_config_eps",
+            "final_accept", "train_time_s", "hmc_best_eps",
+        )}
+        keep["overrides"] = ov
+        results[key] = keep
+        print(json.dumps({key: keep}))
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
+    print("all done ->", args.out)
+
+
+if __name__ == "__main__":
+    main()

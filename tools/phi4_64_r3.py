@@ -1,0 +1,80 @@
+"""Round-3 phi^4 64x64 campaign (VERDICT r2 item 6).
+
+Round-2 state (PARITY "Honest scale limit"): at L=64 (dim 4096) the L=32
+recipe loses — eps 0.1 diverges, eps 0.03 trains to acceptance 0.33 but
+magnetization ESS 0.0013 vs tuned-HMC 0.021. This driver runs the VERDICT
+prescription — longer training, wider nets, temperature annealing at small
+eps — and records every attempt to phi4_64_r3.json (crash-safe append).
+The fused eval at dim 4096 now exists (fori_loop trajectory kernel).
+
+Usage (TPU, run alone): python tools/phi4_64_r3.py [--only A B]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# near-critical couplings as at L=16/32 (m2=-1, lam=0.5)
+BASE = dict(L=64, m2=-1.0, lam=0.5, n_chains=256, eval_steps=1000,
+            eps=0.03, hmc_eps=0.03)
+
+EXPERIMENTS = {
+    # r2 failure point, reproduced with the current code (control)
+    "A_control": dict(n_steps=2000, hidden=32, leapfrogs=10),
+    # longer + wider + anneal (the VERDICT prescription)
+    "B_long_wide_anneal": dict(n_steps=6000, hidden=64, leapfrogs=10,
+                               init_temperature=4.0),
+    # shorter trajectories: the L=32 lesson from rough_well — the learned
+    # sampler only needs to out-jump HMC per MH step
+    "C_T5_wide": dict(n_steps=6000, hidden=64, leapfrogs=5,
+                      init_temperature=4.0),
+    # smaller eps, more headroom for the nets to amplify
+    "D_eps02_long": dict(n_steps=8000, hidden=64, leapfrogs=10,
+                         init_temperature=4.0, eps=0.02, hmc_eps=0.02),
+}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--only", type=str, nargs="*", default=None)
+    p.add_argument("--quick", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", type=str, default="phi4_64_r3.json")
+    args = p.parse_args()
+
+    from l2hmc_tpu.apps import phi4
+
+    results = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            results = json.load(f)
+
+    for name, ov in EXPERIMENTS.items():
+        if args.only and name not in args.only:
+            continue
+        key = f"{name}_seed{args.seed}"
+        if key in results:
+            print(f"skip {key}")
+            continue
+        kw = {**BASE, **ov, "seed": args.seed}
+        if args.quick:
+            kw.update(L=8, n_steps=30, n_chains=32, eval_steps=40)
+        print(f"=== {key}: {kw}")
+        r = phi4.run(**kw)
+        r["config"] = kw
+        results[key] = r
+        print(json.dumps({key: {k: r[k] for k in (
+            'tunneling_rate_l2hmc', 'tunneling_rate_hmc',
+            'ess_m_l2hmc', 'ess_m_hmc', 'final_accept')}}))
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
+    print("done ->", args.out)
+
+
+if __name__ == "__main__":
+    main()
