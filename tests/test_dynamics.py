@@ -280,3 +280,49 @@ def test_make_alternating_masks():
     m = make_alternating_masks(3, 5)
     np.testing.assert_array_equal(m[0], [1, 0, 1, 0, 1])
     np.testing.assert_array_equal(m[0], m[2])
+
+
+def test_eps_step_schedule(key):
+    """Per-leapfrog-step eps (Dynamics.eps_step): alpha is (T,), each
+    substep integrates with its own scalar, invertibility and logdet
+    cancellation hold, and a non-uniform schedule actually changes the
+    trajectory vs the uniform scalar."""
+    dyn = _make_dynamics(T=4, eps_step=True)
+    params = dyn.init_params(key, eps=0.1)
+    assert params["alpha"].shape == (4,)
+
+    x = jax.random.normal(jax.random.key(1), (32, 2), jnp.float32)
+    v = jax.random.normal(jax.random.key(2), (32, 2), jnp.float32)
+
+    # uniform schedule == scalar eps exactly
+    dyn_s = _make_dynamics(T=4)
+    params_s = dict(params, alpha=jnp.asarray(np.log(0.1), jnp.float32))
+    Xs, Vs, lds = dyn_s.forward(params_s, x, v)
+    Xu, Vu, ldu = dyn.forward(params, x, v)
+    np.testing.assert_allclose(np.asarray(Xu), np.asarray(Xs), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ldu), np.asarray(lds), rtol=1e-5, atol=1e-6)
+
+    # non-uniform schedule: invertible, logdets cancel, trajectory differs
+    params_n = dict(
+        params, alpha=jnp.log(jnp.asarray([0.05, 0.2, 0.1, 0.15], jnp.float32))
+    )
+    X, V, ld = dyn.forward(params_n, x, v)
+    assert not np.allclose(np.asarray(X), np.asarray(Xu))
+    x2, v2, ld_b = dyn.backward(params_n, X, V)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ld + ld_b), 0.0, atol=1e-5)
+
+    # gradient flows to every schedule entry
+    def loss(p):
+        X, _, ld = dyn.forward(p, x, v)
+        return jnp.mean(X * X) + jnp.mean(ld)
+
+    g = jax.grad(loss)(params_n)
+    assert g["alpha"].shape == (4,)
+    assert (np.abs(np.asarray(g["alpha"])) > 0).all()
+
+
+def test_eps_step_eps_dim_exclusive():
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        _make_dynamics(T=3, eps_step=True, eps_dim=True)

@@ -193,3 +193,24 @@ def test_chain_operator_faithful_momentum(key):
         assert (p >= 0).all() and (p <= 1).all()
     # the two readings integrate different momenta -> different proposals
     assert not np.allclose(np.asarray(out_c.x_prop), np.asarray(out_f.x_prop))
+
+
+def test_accept_penalty_changes_loss_and_grad(key):
+    """ScgConfig.accept_penalty: the acceptance-targeted term shifts the
+    training loss and produces a gradient pushing mean acceptance toward
+    accept_target (VERDICT r2 item 5 machinery)."""
+    from l2hmc_tpu.train import ScgConfig, build_dynamics, init_state, \
+        make_optimizer, make_train_step
+
+    base = dict(n_chains=32, T=3, n_steps=1, seed=0)
+    cfg0 = ScgConfig(**base)
+    cfg1 = ScgConfig(**base, accept_penalty=10.0, accept_target=0.3)
+    losses = {}
+    for name, cfg in (("plain", cfg0), ("penalized", cfg1)):
+        dyn, _ = build_dynamics(cfg)
+        opt, _ = make_optimizer(cfg)
+        state = init_state(cfg, dyn, opt)
+        _, metrics = jax.jit(make_train_step(cfg, dyn, opt))(state, None)
+        losses[name] = float(metrics["loss"])
+        assert np.isfinite(losses[name])
+    assert losses["plain"] != losses["penalized"]
