@@ -69,10 +69,21 @@ def linear(
 
     def apply(params: Params, x: Array) -> Array:
         w = params["w"]
-        if cd is not None:
-            x, w = x.astype(cd), w.astype(cd)
+        if cd is None:
+            return (
+                jnp.dot(x, w, preferred_element_type=jnp.float32)
+                + params["b"]
+            )
+        # precision=DEFAULT: the global 'highest' matmul precision
+        # (config.py) would force the lowered operands back into an f32
+        # multi-pass scheme, defeating the single-pass bf16 MXU op
         return (
-            jnp.dot(x, w, preferred_element_type=jnp.float32) + params["b"]
+            jnp.dot(
+                x.astype(cd), w.astype(cd),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+            + params["b"]
         )
 
     return Module(init, apply)

@@ -114,13 +114,20 @@ def _dot_in(cd):
     """Matmul with operands lowered to ``cd`` (None = f32 passthrough),
     always accumulating f32 on the MXU — the config.Precision recipe.
     Invertibility is dtype-agnostic: forward/backward recompute identical
-    net values either way (config.Precision docstring)."""
+    net values either way (config.Precision docstring).
+
+    The lowered form pins ``precision=DEFAULT``: the framework-global
+    ``jax_default_matmul_precision='highest'`` (config.py) would stamp an
+    fp32 contract precision onto the bf16 matmul, which Mosaic rejects
+    ("Bad lhs type") — bf16 operands are already a single native MXU pass.
+    """
     if cd is None:
         return lambda a, b: jnp.dot(
             a, b, preferred_element_type=jnp.float32
         )
     return lambda a, b: jnp.dot(
-        a.astype(cd), b.astype(cd), preferred_element_type=jnp.float32
+        a.astype(cd), b.astype(cd), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
     )
 
 

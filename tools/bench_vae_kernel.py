@@ -48,13 +48,22 @@ def flops_per_chain_step(latent, s1, s2, dec_h, T):
     return 2 * (2 * T * per_substep + 2 * dec_fwd)
 
 
+def _force(out):
+    """Fetch one leaf to the host — on the remote-TPU runtime,
+    block_until_ready can return before short computations drain (measured:
+    a 50-step kernel 'completing' in 4.6 ms at an impossible 8 PFLOP/s);
+    an actual device_get is the reliable barrier."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(jax.device_get(leaf)).ravel()[:1]
+    return out
+
+
 def time_call(fn, *args, warm=1, reps=3):
     for _ in range(warm):
-        jax.block_until_ready(fn(*args))
+        _force(fn(*args))
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = fn(*args)
-        jax.block_until_ready(out)
+        out = _force(fn(*args))
     return (time.perf_counter() - t0) / reps, out
 
 
@@ -62,7 +71,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--n_chains", type=int, default=8192)
     p.add_argument("--batch", type=int, default=512)
-    p.add_argument("--mh_steps", type=int, default=50)
+    p.add_argument("--mh_steps", type=int, default=200)
     p.add_argument("--tile", type=int, default=512)
     p.add_argument("--train_tile", type=int, default=256)
     p.add_argument("--out", type=str, default=None)
