@@ -38,6 +38,18 @@ EXPERIMENTS = [
     ("eps_dim_pen5", {"eps_dim": True, "accept_penalty": 5.0}),
     ("long20k", {"n_steps": 20000}),
     ("long20k_pen5", {"n_steps": 20000, "accept_penalty": 5.0}),
+    # wave 2: the penalty is the winning axis at seed 42
+    # (pen20 5.1x vs baseline 0.84x) — push strength, length, and
+    # robustness; eps_step (0.05x) and target 0.5 (0.66x) are negatives
+    ("accept_pen50", {"accept_penalty": 50.0}),
+    ("accept_pen100", {"accept_penalty": 100.0}),
+    ("pen20_long", {"accept_penalty": 20.0, "n_steps": 20000}),
+    ("pen50_long", {"accept_penalty": 50.0, "n_steps": 20000}),
+    ("pen20_k4", {"accept_penalty": 20.0, "n_train_seeds": 4}),
+    # wave 3: bigger selection pool (the seed lottery is the dominant
+    # factor; selection is on a held-out validation chain, not the test)
+    ("pen20_k8", {"accept_penalty": 20.0, "n_train_seeds": 8,
+                  "val_steps": 800}),
 ]
 
 
