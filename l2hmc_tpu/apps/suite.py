@@ -60,11 +60,17 @@ _TARGET_OVERRIDES: dict[str, dict] = {
     "scg": {"whiten_loss": True, "eps_dim": True},
     # whitened x-only ESJD is load-bearing on the paper-conditioned target:
     # the raw joint loss is gamed into acceptance collapse (icg_round2/3
-    # sweeps; ScgConfig docstrings). Measured: 7.9x best-vs-best at these
-    # settings (ESS 0.054 vs tuned-HMC 0.0069).
+    # sweeps; ScgConfig docstrings). Round 3 (icg_r3.json): the ESJD
+    # objective is a seed lottery (same-config final ESS spans 15x across
+    # seeds, and the r2 artifact's 7.9x stopped reproducing after a TPU
+    # toolchain drift), so the recipe adds the acceptance-targeted penalty
+    # (0.84x -> 5-6x per seed) and multi-seed train-and-select (validation
+    # chain, not test). Measured at k=8: 17.4x/10.2x/13.8x best-vs-best
+    # over outer seeds {42, 7, 13}; k=4 keeps most of it at half the cost.
     "icg": {"hidden": 100, "eps": 0.1, "hmc_eps": 0.15, "n_steps": 10000,
             "init_temperature": 5.0, "whiten_loss": True,
-            "z_burn_in_loss": False},
+            "z_burn_in_loss": False, "accept_penalty": 20.0,
+            "n_train_seeds": 4, "val_steps": 800},
     # measured sweep (icg_rough_sweep.json): shorter trajectories at a
     # moderate step size beat the tiny-eps full-length recipe 2x+ — the
     # rough ripple derails long trajectories, and the nets only need to
