@@ -77,9 +77,15 @@ _TARGET_OVERRIDES: dict[str, dict] = {
     # out-jump HMC per step
     "rough_well": {"eps": 0.05, "hmc_eps": 0.03, "leapfrogs": 5,
                    "hidden": 20},
-    "ring": {"init_temperature": 5.0, "hmc_eps": 0.25, "eps": 0.2},
+    # mode-hop targets: whether a run learns the hop is a seed lottery
+    # (r2 seed table: ring 6-452x, mog2 3.7-57x). Multi-seed
+    # train-and-select (validation chain, not test) stabilizes it —
+    # measured at k=4 over outer seeds {42,7,13,21} (modehop_r3.json):
+    # ring min 374x / max 1060x, mog2 min 23.3x / max 109x.
+    "ring": {"init_temperature": 5.0, "hmc_eps": 0.25, "eps": 0.2,
+             "n_train_seeds": 4},
     "mog2": {"init_temperature": 25.0, "hmc_eps": 0.25, "eps": 0.3,
-             "hidden": 20, "n_steps": 8000},
+             "hidden": 20, "n_steps": 8000, "n_train_seeds": 4},
     "funnel": {"eps": 0.05, "hmc_eps": 0.05, "hidden": 20, "grad_clip": 5.0},
 }
 
