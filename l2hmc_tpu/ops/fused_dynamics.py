@@ -135,11 +135,18 @@ def _col_at(arr, step):
     """Column ``step`` of a (K, T) per-step constant array as (K, 1).
 
     Static python ``step`` (the unrolled trajectory) lowers to a static
-    slice; a traced ``step`` (the fori_loop trajectory for wide states,
-    see _trajectory's ``loop``) lowers to a dynamic slice."""
+    slice. A traced ``step`` (the fori_loop trajectory for wide states,
+    see _trajectory's ``loop``) selects the column by one-hot
+    multiply-and-reduce rather than ``lax.dynamic_slice`` — Mosaic has no
+    TC lowering for dynamic_slice on values (measured failure on TPU:
+    "Unimplemented primitive ... dynamic_slice"), while elementwise
+    select + minor-dim reduction lowers everywhere. T is <= ~20 so the
+    extra flops are noise."""
     if isinstance(step, (int, np.integer)):
         return arr[:, step : step + 1]
-    return jax.lax.dynamic_slice_in_dim(arr, step, 1, axis=1)
+    t = arr.shape[1]
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (1, t), 1) == step)
+    return jnp.sum(jnp.where(sel, arr, 0.0), axis=1, keepdims=True)
 
 
 def _apply_stq(w: list, a: Array, b: Array, step, emb=None, cd=None):

@@ -472,3 +472,44 @@ def test_differentiable_fused_vae_grad_parity():
         )
         nonzero += int(float(jnp.max(jnp.abs(a))) > 0)
     assert nonzero > 10  # aux_enc + nets + alpha all receive gradient
+
+
+def test_col_at_traced_matches_static():
+    """_col_at with a traced step (fori_loop trajectory) must equal the
+    static slice. The traced form is a one-hot select+reduce because Mosaic
+    has no TC lowering for dynamic_slice on values — a measured TPU failure
+    at phi^4 64x64 ("Unimplemented primitive ... dynamic_slice")."""
+    from l2hmc_tpu.ops.fused_dynamics import _col_at
+
+    arr = jax.random.normal(jax.random.key(0), (7, 5), jnp.float32)
+
+    @jax.jit
+    def traced(step):
+        return _col_at(arr, step)
+
+    for s in range(5):
+        np.testing.assert_array_equal(
+            np.asarray(traced(jnp.int32(s))), np.asarray(_col_at(arr, s))
+        )
+
+
+def test_fused_chain_sampler_loop_traj_parity(setup):
+    """fori_loop trajectory form (wide-state path, auto at dim>=2048) vs the
+    unrolled form: identical results under the zero-bits deterministic
+    schedule. Guards the exact kernel variant phi^4 64x64 runs."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from l2hmc_tpu.ops import fused_chain_sampler
+    from l2hmc_tpu.train import ScgConfig, build_dynamics
+
+    cfg = ScgConfig(n_chains=256, T=4)
+    dyn, target = build_dynamics(cfg)
+    params = dyn.init_params(jax.random.key(0), eps=0.1)
+    unrolled = fused_chain_sampler(dyn, target, tile=128, loop_traj=False)
+    looped = fused_chain_sampler(dyn, target, tile=128, loop_traj=True)
+    x0 = jax.random.normal(jax.random.key(1), (256, 2), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        xu, au = unrolled.run(params, x0, seed=7, n_mh_steps=4)
+        xl, al = looped.run(params, x0, seed=7, n_mh_steps=4)
+    np.testing.assert_allclose(np.asarray(xl), np.asarray(xu), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(al), np.asarray(au))
