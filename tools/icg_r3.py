@@ -50,6 +50,18 @@ EXPERIMENTS = [
     # factor; selection is on a held-out validation chain, not the test)
     ("pen20_k8", {"accept_penalty": 20.0, "n_train_seeds": 8,
                   "val_steps": 800}),
+    # wave 4: push past the 17x plateau toward the >=20x target.
+    # T=20 doubles the per-trajectory traversal of the sigma-10 axis
+    # (eps*T from 1.0 to 2.0 before net amplification); long20k helped
+    # the lucky seeds (pen20_long_seed7: 14.2x single-run) so combine it
+    # with the k8 pool; hidden 200 tests net capacity as the binding
+    # constraint.
+    ("pen20_T20_k4", {"accept_penalty": 20.0, "leapfrogs": 20,
+                      "n_train_seeds": 4}),
+    ("pen20_long_k8", {"accept_penalty": 20.0, "n_steps": 20000,
+                       "n_train_seeds": 8, "val_steps": 800}),
+    ("pen20_wide_k4", {"accept_penalty": 20.0, "hidden": 200,
+                       "n_train_seeds": 4}),
 ]
 
 
