@@ -62,6 +62,10 @@ EXPERIMENTS = [
                        "n_train_seeds": 8, "val_steps": 800}),
     ("pen20_wide_k4", {"accept_penalty": 20.0, "hidden": 200,
                        "n_train_seeds": 4}),
+    # the VERDICT's own suggestion: loss scale 1.0 (the mixed loss's
+    # reciprocal term bites harder when v/scale ~ 1)
+    ("pen20_scale1_k4", {"accept_penalty": 20.0, "scale": 1.0,
+                         "n_train_seeds": 4}),
 ]
 
 

@@ -36,6 +36,16 @@ EXPERIMENTS = {
     # smaller eps, more headroom for the nets to amplify
     "D_eps02_long": dict(n_steps=8000, hidden=64, leapfrogs=10,
                          init_temperature=4.0, eps=0.02, hmc_eps=0.02),
+    # wave 2 (after A-D): B wins tunneling 3.2x but still loses ESS_m
+    # (0.48x) — hypothesis: the anneal parks chains near the domain wall
+    # (m~0 sign-noise inflates tunneling without mixing). E tests anneal
+    # off at B's budget; F pushes eps toward the stability edge (accept
+    # 0.73 at 0.03 leaves headroom); G trades eps for trajectory length.
+    "E_no_anneal": dict(n_steps=6000, hidden=64, leapfrogs=10),
+    "F_eps004": dict(n_steps=6000, hidden=64, leapfrogs=10,
+                     init_temperature=4.0, eps=0.04, hmc_eps=0.04),
+    "G_T16": dict(n_steps=6000, hidden=64, leapfrogs=16,
+                  init_temperature=4.0),
 }
 
 
