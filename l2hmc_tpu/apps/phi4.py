@@ -63,6 +63,9 @@ def run(
     pt_t_max: float = 16.0,
     seed: int = 0,
     log_every: int = 0,
+    net_type: str = "dense",
+    conv_channels: int = 32,
+    conv_depth: int = 2,
 ) -> dict:
     """Train + evaluate on the phi^4 lattice. With ``pt_rungs > 0`` the
     evaluation additionally runs parallel-tempered chains (geometric ladder
@@ -79,6 +82,9 @@ def run(
         n_steps=n_steps,
         seed=seed,
         init_temperature=init_temperature,
+        net_type=net_type,
+        conv_channels=conv_channels,
+        conv_depth=conv_depth,
     )
     dynamics, _ = build_dynamics(cfg, target)
 
@@ -92,7 +98,8 @@ def run(
     # (the stencil Phi4Energy spec, ops/fused_dynamics.py — measured 1.4x
     # the XLA scan at L=16/32); XLA-keyed scan elsewhere / on fallback
     fused_eval = False
-    if jax.default_backend() == "tpu":
+    # conv S/T/Q params have no dense-weight layout for the Mosaic kernel
+    if jax.default_backend() == "tpu" and net_type == "dense":
         try:
             from l2hmc_tpu.ops import fused_chain_sampler
 
@@ -214,6 +221,12 @@ def main(argv=None):
                    help="parallel-tempering rungs for the eval (0 = off)")
     p.add_argument("--pt_t_max", type=float, default=16.0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--net_type", type=str, default="dense",
+                   choices=["dense", "conv"],
+                   help="S/T/Q architecture: reference dense MLP or the "
+                        "lattice-equivariant circular-padded CNN")
+    p.add_argument("--conv_channels", type=int, default=32)
+    p.add_argument("--conv_depth", type=int, default=2)
     args = p.parse_args(argv)
     r = run(**vars(args))
     print(json.dumps(r))

@@ -13,6 +13,11 @@ from l2hmc_tpu.nets.core import (
     sequential,
     zip_modules,
 )
+from l2hmc_tpu.nets.lattice import (
+    conv2d,
+    lattice_net_factory,
+    lattice_stq_net,
+)
 from l2hmc_tpu.nets.stq import scg_net_factory, stq_net, vae_net_factory
 
 __all__ = [
@@ -26,6 +31,9 @@ __all__ = [
     "scale_tanh",
     "sequential",
     "zip_modules",
+    "conv2d",
+    "lattice_net_factory",
+    "lattice_stq_net",
     "scg_net_factory",
     "stq_net",
     "vae_net_factory",

@@ -39,6 +39,14 @@ class ScgConfig:
     T: int = 10  # leapfrog steps
     eps: float = 0.1
     hidden: int = 10
+    # S/T/Q architecture: "dense" (the reference MLP, nets.stq) or "conv"
+    # (nets.lattice: translation-equivariant circular-padded CNN for
+    # square-lattice targets with dim = L*L — phi^4). Rebuild-only
+    # extension; conv nets run the XLA path (fused kernels are
+    # dense-only).
+    net_type: str = "dense"
+    conv_channels: int = 32
+    conv_depth: int = 2
     scale: float = 0.1  # loss scale (cell 9)
     learning_rate: float = 1e-3
     lr_decay_rate: float = 0.96
@@ -136,14 +144,31 @@ class TrainState(NamedTuple):
 def build_dynamics(config: ScgConfig, target=None) -> tuple[Dynamics, Any]:
     """Dynamics + target for the SCG experiment (notebook cells 3, 5)."""
     target = targets.scg_gaussian() if target is None else target
-    xnet = nets.scg_net_factory(
-        config.dim, factor=2.0, hidden=config.hidden,
-        compute_dtype=config.compute_dtype,
-    )
-    vnet = nets.scg_net_factory(
-        config.dim, factor=1.0, hidden=config.hidden,
-        compute_dtype=config.compute_dtype,
-    )
+    if config.net_type == "conv":
+        L = int(round(np.sqrt(config.dim)))
+        if L * L != config.dim:
+            raise ValueError(
+                f"net_type='conv' needs a square lattice dim, got {config.dim}"
+            )
+        xnet = nets.lattice_net_factory(
+            L, factor=2.0, channels=config.conv_channels,
+            depth=config.conv_depth, compute_dtype=config.compute_dtype,
+        )
+        vnet = nets.lattice_net_factory(
+            L, factor=1.0, channels=config.conv_channels,
+            depth=config.conv_depth, compute_dtype=config.compute_dtype,
+        )
+    elif config.net_type == "dense":
+        xnet = nets.scg_net_factory(
+            config.dim, factor=2.0, hidden=config.hidden,
+            compute_dtype=config.compute_dtype,
+        )
+        vnet = nets.scg_net_factory(
+            config.dim, factor=1.0, hidden=config.hidden,
+            compute_dtype=config.compute_dtype,
+        )
+    else:
+        raise ValueError(f"unknown net_type: {config.net_type!r}")
     input_scale = None
     if config.net_input_whiten:
         sig = np.asarray(getattr(target, "sigma", None))

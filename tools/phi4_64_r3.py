@@ -46,6 +46,18 @@ EXPERIMENTS = {
                      init_temperature=4.0, eps=0.04, hmc_eps=0.04),
     "G_T16": dict(n_steps=6000, hidden=64, leapfrogs=16,
                   init_temperature=4.0),
+    # wave 3: translation-equivariant conv S/T/Q (nets/lattice.py) — the
+    # dense MLP must learn the lattice symmetry from data; the CNN has it
+    # by construction and its convs are MXU-native. Tuned-HMC bar at this
+    # coupling: ESS_m ~0.020 at eps 0.04 (run F).
+    "H_conv": dict(n_steps=6000, net_type="conv", conv_channels=32,
+                   leapfrogs=10, init_temperature=4.0),
+    "I_conv_eps004": dict(n_steps=6000, net_type="conv", conv_channels=32,
+                          leapfrogs=10, init_temperature=4.0,
+                          eps=0.04, hmc_eps=0.04),
+    "J_conv_deep": dict(n_steps=8000, net_type="conv", conv_channels=64,
+                        conv_depth=3, leapfrogs=10, init_temperature=4.0,
+                        eps=0.04, hmc_eps=0.04),
 }
 
 
