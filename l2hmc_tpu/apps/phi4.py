@@ -66,6 +66,7 @@ def run(
     net_type: str = "dense",
     conv_channels: int = 32,
     conv_depth: int = 2,
+    remat: bool = False,
 ) -> dict:
     """Train + evaluate on the phi^4 lattice. With ``pt_rungs > 0`` the
     evaluation additionally runs parallel-tempered chains (geometric ladder
@@ -85,6 +86,11 @@ def run(
         net_type=net_type,
         conv_channels=conv_channels,
         conv_depth=conv_depth,
+        # conv activations at L=64 are (n, 64, 64, ch) per layer per
+        # leapfrog substep — an un-remat'd T-step backward OOMs HBM
+        # (measured: 47.4G of 15.75G); per-substep jax.checkpoint trades
+        # one recompute for a T-fold activation cut
+        remat=remat,
     )
     dynamics, _ = build_dynamics(cfg, target)
 
@@ -227,6 +233,9 @@ def main(argv=None):
                         "lattice-equivariant circular-padded CNN")
     p.add_argument("--conv_channels", type=int, default=32)
     p.add_argument("--conv_depth", type=int, default=2)
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize leapfrog substeps in training "
+                        "(required for conv nets at L=64)")
     args = p.parse_args(argv)
     r = run(**vars(args))
     print(json.dumps(r))

@@ -50,19 +50,21 @@ EXPERIMENTS = {
     # dense MLP must learn the lattice symmetry from data; the CNN has it
     # by construction and its convs are MXU-native. Tuned-HMC bar at this
     # coupling: ESS_m ~0.020 at eps 0.04 (run F).
+    # remat is load-bearing for conv at L=64: un-remat'd backward OOMs
+    # HBM (measured 47.4G of 15.75G)
     "H_conv": dict(n_steps=6000, net_type="conv", conv_channels=32,
-                   leapfrogs=10, init_temperature=4.0),
+                   leapfrogs=10, init_temperature=4.0, remat=True),
     "I_conv_eps004": dict(n_steps=6000, net_type="conv", conv_channels=32,
                           leapfrogs=10, init_temperature=4.0,
-                          eps=0.04, hmc_eps=0.04),
+                          eps=0.04, hmc_eps=0.04, remat=True),
     "J_conv_deep": dict(n_steps=8000, net_type="conv", conv_channels=64,
                         conv_depth=3, leapfrogs=10, init_temperature=4.0,
-                        eps=0.04, hmc_eps=0.04),
+                        eps=0.04, hmc_eps=0.04, remat=True),
     # G (T=16) is the first 64x64 win: ESS_m 0.0753 vs 0.0302 matched-T
     # HMC (2.5x). Combine the winning trajectory length with the conv nets
     # and with the dense recipe at yet-longer T.
     "K_conv_T16": dict(n_steps=6000, net_type="conv", conv_channels=32,
-                       leapfrogs=16, init_temperature=4.0),
+                       leapfrogs=16, init_temperature=4.0, remat=True),
     "L_T24": dict(n_steps=6000, hidden=64, leapfrogs=24,
                   init_temperature=4.0),
 }
@@ -94,7 +96,14 @@ def main():
         if args.quick:
             kw.update(L=8, n_steps=30, n_chains=32, eval_steps=40)
         print(f"=== {key}: {kw}")
-        r = phi4.run(**kw)
+        try:
+            r = phi4.run(**kw)
+        except Exception as e:  # OOM / compile failure: record, continue
+            print(f"!! {key} failed: {type(e).__name__}: {str(e)[:300]}")
+            results[key] = {"failed": str(e)[:500], "config": kw}
+            with open(args.out, "w") as f:
+                json.dump(results, f, indent=2)
+            continue
         r["config"] = kw
         results[key] = r
         print(json.dumps({key: {k: r[k] for k in (
