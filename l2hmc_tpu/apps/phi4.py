@@ -67,6 +67,7 @@ def run(
     conv_channels: int = 32,
     conv_depth: int = 2,
     remat: bool = False,
+    compute_dtype: str = "float32",
 ) -> dict:
     """Train + evaluate on the phi^4 lattice. With ``pt_rungs > 0`` the
     evaluation additionally runs parallel-tempered chains (geometric ladder
@@ -91,6 +92,12 @@ def run(
         # (measured: 47.4G of 15.75G); per-substep jax.checkpoint trades
         # one recompute for a T-fold activation cut
         remat=remat,
+        # "bfloat16" runs the S/T/Q matmuls/convs single-pass on the MXU
+        # (config.Precision policy: f32 accumulation, f32 energies,
+        # acceptance parity measured in PARITY.md). Load-bearing for conv
+        # at L=64: the global 'highest' matmul precision makes f32 convs
+        # 6-pass (measured ~15 s/train-step vs sub-second bf16)
+        compute_dtype=compute_dtype,
     )
     dynamics, _ = build_dynamics(cfg, target)
 
@@ -236,6 +243,9 @@ def main(argv=None):
     p.add_argument("--remat", action="store_true",
                    help="rematerialize leapfrog substeps in training "
                         "(required for conv nets at L=64)")
+    p.add_argument("--compute_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="S/T/Q net operand dtype (config.Precision)")
     args = p.parse_args(argv)
     r = run(**vars(args))
     print(json.dumps(r))

@@ -53,18 +53,22 @@ EXPERIMENTS = {
     # remat is load-bearing for conv at L=64: un-remat'd backward OOMs
     # HBM (measured 47.4G of 15.75G)
     "H_conv": dict(n_steps=6000, net_type="conv", conv_channels=32,
-                   leapfrogs=10, init_temperature=4.0, remat=True),
+                   leapfrogs=10, init_temperature=4.0, remat=True,
+                   compute_dtype="bfloat16"),
     "I_conv_eps004": dict(n_steps=6000, net_type="conv", conv_channels=32,
                           leapfrogs=10, init_temperature=4.0,
-                          eps=0.04, hmc_eps=0.04, remat=True),
+                          eps=0.04, hmc_eps=0.04, remat=True,
+                   compute_dtype="bfloat16"),
     "J_conv_deep": dict(n_steps=8000, net_type="conv", conv_channels=64,
                         conv_depth=3, leapfrogs=10, init_temperature=4.0,
-                        eps=0.04, hmc_eps=0.04, remat=True),
+                        eps=0.04, hmc_eps=0.04, remat=True,
+                   compute_dtype="bfloat16"),
     # G (T=16) is the first 64x64 win: ESS_m 0.0753 vs 0.0302 matched-T
     # HMC (2.5x). Combine the winning trajectory length with the conv nets
     # and with the dense recipe at yet-longer T.
     "K_conv_T16": dict(n_steps=6000, net_type="conv", conv_channels=32,
-                       leapfrogs=16, init_temperature=4.0, remat=True),
+                       leapfrogs=16, init_temperature=4.0, remat=True,
+                   compute_dtype="bfloat16"),
     "L_T24": dict(n_steps=6000, hidden=64, leapfrogs=24,
                   init_temperature=4.0),
 }
