@@ -55,20 +55,26 @@ def conv2d(
         }
 
     def apply(params: Params, x: Array) -> Array:
-        w = params["w"]
-        if cd is not None:
-            x, w = x.astype(cd), w.astype(cd)
+        # Unlike nets.core.linear, the lowered-precision path keeps f32
+        # operands and requests precision=DEFAULT (one bf16 MXU pass on
+        # TPU) instead of casting: conv_general_dilated requires both
+        # operands to share a dtype, and the conv transpose rule in the
+        # backward pass pairs a f32 cotangent with the weights (measured
+        # TypeError with bf16-cast operands). Same arithmetic, no dtype
+        # plumbing. cd=None inherits the global 'highest' (6-pass f32 —
+        # measured ~15 s/train-step at L=64; use bf16 there).
+        prec = jax.lax.Precision.DEFAULT if cd is not None else None
         # wrap-pad then VALID: XLA has no native circular padding
         xp = jnp.pad(
             x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="wrap"
         )
         out = jax.lax.conv_general_dilated(
-            xp, w,
+            xp, params["w"],
             window_strides=(1, 1),
             padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT if cd is not None else None,
+            precision=prec,
         )
         return out + params["b"]
 

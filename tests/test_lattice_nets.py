@@ -140,3 +140,27 @@ def test_build_dynamics_rejects_unknown_net_type():
     cfg = ScgConfig(dim=4, net_type="mlpx")
     with pytest.raises(ValueError, match="net_type"):
         build_dynamics(cfg)
+
+
+def test_conv_stq_bf16_policy_grads():
+    """compute_dtype='bfloat16' must train: forward finite, grads flow
+    through the conv stack without dtype errors (the conv transpose rule
+    pairs a f32 cotangent with the weights — the policy keeps operands
+    f32 and lowers via precision=DEFAULT)."""
+    L = 4
+    net = nets.lattice_net_factory(
+        L, factor=1.0, channels=4, compute_dtype="bfloat16"
+    )
+    params = net.init(jax.random.key(0))
+    x = jax.random.normal(jax.random.key(1), (3, 16), jnp.float32)
+    t = jnp.zeros((3, 2), jnp.float32)
+
+    def loss(p):
+        s, tt, q = net.apply(p, (x, x, t, None))
+        return jnp.sum(s**2) + jnp.sum(tt**2) + jnp.sum(q**2)
+
+    val, grads = jax.value_and_grad(loss)(params)
+    assert np.isfinite(float(val))
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    assert any(float(jnp.abs(g).max()) > 0 for g in leaves)
