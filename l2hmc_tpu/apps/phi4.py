@@ -68,6 +68,10 @@ def run(
     conv_depth: int = 2,
     remat: bool = False,
     compute_dtype: str = "float32",
+    accept_penalty: float = 0.0,
+    grad_clip: float = 0.0,
+    z_burn_in_loss: bool = True,
+    scale: float = 0.1,
 ) -> dict:
     """Train + evaluate on the phi^4 lattice. With ``pt_rungs > 0`` the
     evaluation additionally runs parallel-tempered chains (geometric ladder
@@ -98,6 +102,14 @@ def run(
         # at L=64: the global 'highest' matmul precision makes f32 convs
         # 6-pass (measured ~15 s/train-step vs sub-second bf16)
         compute_dtype=compute_dtype,
+        # stability knobs (same medicine as the ICG recipe): the
+        # equivariant conv nets amplify coherent global moves, so the raw
+        # distance term can be gamed into acceptance collapse (measured:
+        # loss -> -1.7e4, acceptance -> 0.04 within 30 steps at L=64)
+        accept_penalty=accept_penalty,
+        grad_clip=grad_clip,
+        z_burn_in_loss=z_burn_in_loss,
+        scale=scale,
     )
     dynamics, _ = build_dynamics(cfg, target)
 
@@ -246,6 +258,11 @@ def main(argv=None):
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
                    help="S/T/Q net operand dtype (config.Precision)")
+    p.add_argument("--accept_penalty", type=float, default=0.0)
+    p.add_argument("--grad_clip", type=float, default=0.0)
+    p.add_argument("--scale", type=float, default=0.1)
+    p.add_argument("--no_z_burn_in_loss", dest="z_burn_in_loss",
+                   action="store_false")
     args = p.parse_args(argv)
     r = run(**vars(args))
     print(json.dumps(r))

@@ -52,25 +52,37 @@ EXPERIMENTS = {
     # coupling: ESS_m ~0.020 at eps 0.04 (run F).
     # remat is load-bearing for conv at L=64: un-remat'd backward OOMs
     # HBM (measured 47.4G of 15.75G)
+    # conv stability + tunnel notes (measured): chunk lengths >= 50
+    # crash the remote TPU worker mid-scan (log_every=25 keeps calls
+    # short); the raw distance objective collapses acceptance to 0 with
+    # equivariant nets (accept_penalty + grad_clip, the ICG medicine).
     "H_conv": dict(n_steps=6000, net_type="conv", conv_channels=32,
                    leapfrogs=10, init_temperature=4.0, remat=True,
-                   compute_dtype="bfloat16"),
+                   compute_dtype="bfloat16", accept_penalty=20.0,
+                   grad_clip=5.0, log_every=25),
     "I_conv_eps004": dict(n_steps=6000, net_type="conv", conv_channels=32,
                           leapfrogs=10, init_temperature=4.0,
                           eps=0.04, hmc_eps=0.04, remat=True,
-                   compute_dtype="bfloat16"),
+                          compute_dtype="bfloat16", accept_penalty=20.0,
+                          grad_clip=5.0, log_every=25),
     "J_conv_deep": dict(n_steps=8000, net_type="conv", conv_channels=64,
                         conv_depth=3, leapfrogs=10, init_temperature=4.0,
                         eps=0.04, hmc_eps=0.04, remat=True,
-                   compute_dtype="bfloat16"),
+                        compute_dtype="bfloat16", accept_penalty=20.0,
+                        grad_clip=5.0, log_every=25),
     # G (T=16) is the first 64x64 win: ESS_m 0.0753 vs 0.0302 matched-T
     # HMC (2.5x). Combine the winning trajectory length with the conv nets
     # and with the dense recipe at yet-longer T.
     "K_conv_T16": dict(n_steps=6000, net_type="conv", conv_channels=32,
                        leapfrogs=16, init_temperature=4.0, remat=True,
-                   compute_dtype="bfloat16"),
+                       compute_dtype="bfloat16", accept_penalty=20.0,
+                       grad_clip=5.0, log_every=25),
     "L_T24": dict(n_steps=6000, hidden=64, leapfrogs=24,
                   init_temperature=4.0),
+    # L_T24 doubled G: ESS_m 0.149 vs matched-T HMC 0.063 (2.35x; also
+    # 2.4x per-leapfrog). Keep riding the T axis.
+    "M_T32": dict(n_steps=6000, hidden=64, leapfrogs=32,
+                  init_temperature=4.0, log_every=100),
 }
 
 
