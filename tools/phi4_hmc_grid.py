@@ -38,8 +38,12 @@ def main():
     import numpy as np
 
     L, n_chains, eval_steps = args.L, args.n_chains, args.eval_steps
+    # T extended past the learned sampler's 32: HMC's ESS_m was still
+    # rising at T=32 (0.108 at eps 0.03), so the honest tuned bar needs
+    # HMC's own saturation point; the per-leapfrog (equal-compute) ratio
+    # is reported alongside in PARITY.md.
     eps_grid = [0.02, 0.03, 0.04, 0.05]
-    t_grid = [10, 16, 24, 32]
+    t_grid = [10, 16, 24, 32, 48, 64]
     if args.quick:
         L, n_chains, eval_steps = 8, 32, 50
         eps_grid, t_grid = [0.05], [4]
