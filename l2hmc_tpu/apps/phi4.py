@@ -72,6 +72,7 @@ def run(
     grad_clip: float = 0.0,
     z_burn_in_loss: bool = True,
     scale: float = 0.1,
+    learning_rate: float = 1e-3,
 ) -> dict:
     """Train + evaluate on the phi^4 lattice. With ``pt_rungs > 0`` the
     evaluation additionally runs parallel-tempered chains (geometric ladder
@@ -110,6 +111,10 @@ def run(
         grad_clip=grad_clip,
         z_burn_in_loss=z_burn_in_loss,
         scale=scale,
+        # conv at L=64 collapses acceptance to 0 within ~25 steps at the
+        # default 1e-3 (exp-suppressed gradients in the all-rejected
+        # regime — no recovery); a lower LR is the rescue knob under test
+        learning_rate=learning_rate,
     )
     dynamics, _ = build_dynamics(cfg, target)
 
@@ -260,6 +265,7 @@ def main(argv=None):
                    help="S/T/Q net operand dtype (config.Precision)")
     p.add_argument("--accept_penalty", type=float, default=0.0)
     p.add_argument("--grad_clip", type=float, default=0.0)
+    p.add_argument("--learning_rate", type=float, default=1e-3)
     p.add_argument("--scale", type=float, default=0.1)
     p.add_argument("--no_z_burn_in_loss", dest="z_burn_in_loss",
                    action="store_false")

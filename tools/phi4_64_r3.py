@@ -83,6 +83,21 @@ EXPERIMENTS = {
     # 2.4x per-leapfrog). Keep riding the T axis.
     "M_T32": dict(n_steps=6000, hidden=64, leapfrogs=32,
                   init_temperature=4.0, log_every=100),
+    # wave 4: conv rescue. H/K measured acceptance collapse to 0.00 by
+    # step 25 at LR 1e-3 (then exp-suppressed gradients — no recovery);
+    # init is healthy (0.63-0.84 acceptance, CPU probe). Lower LR +
+    # tighter clip keeps the net inside the accepting region while it
+    # learns; T=16 is the dense winning trajectory length.
+    "N_conv_rescue_T16": dict(
+        n_steps=6000, net_type="conv", conv_channels=32, leapfrogs=16,
+        init_temperature=4.0, remat=True, compute_dtype="bfloat16",
+        accept_penalty=20.0, grad_clip=1.0, learning_rate=1e-4,
+        log_every=25),
+    "O_conv_rescue_lr3e5": dict(
+        n_steps=6000, net_type="conv", conv_channels=32, leapfrogs=16,
+        init_temperature=4.0, remat=True, compute_dtype="bfloat16",
+        accept_penalty=20.0, grad_clip=1.0, learning_rate=3e-5,
+        log_every=25),
 }
 
 
