@@ -40,6 +40,7 @@ def test_suite_registry_builds():
         assert t.dim >= 2, name
 
 
+@pytest.mark.slow
 def test_suite_run_target_smoke():
     r = suite.run_target(
         "scg", n_chains=16, n_steps=30, leapfrogs=3, eval_steps=30

@@ -41,6 +41,7 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(as_np(a), as_np(b))
 
 
+@pytest.mark.slow
 def test_checkpoint_resume_training(tmp_path):
     """Train 5 + save + restore + train 5 == continuous state evolution."""
     cfg = ScgConfig(n_steps=5, n_chains=8, T=2)

@@ -118,6 +118,7 @@ def test_conv_dynamics_logdet(conv_dyn):
         np.testing.assert_allclose(float(ld[0]), float(logdet), atol=5e-4)
 
 
+@pytest.mark.slow
 def test_conv_phi4_training_smoke():
     """Two training steps on the conv recipe: finite loss, params move."""
     from l2hmc_tpu.apps import phi4

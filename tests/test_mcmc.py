@@ -195,6 +195,7 @@ def test_chain_operator_faithful_momentum(key):
     assert not np.allclose(np.asarray(out_c.x_prop), np.asarray(out_f.x_prop))
 
 
+@pytest.mark.slow
 def test_accept_penalty_changes_loss_and_grad(key):
     """ScgConfig.accept_penalty: the acceptance-targeted term shifts the
     training loss and produces a gradient pushing mean acceptance toward

@@ -68,6 +68,7 @@ def test_sharded_propose_bitwise_equal(mesh, key):
     )
 
 
+@pytest.mark.slow
 def test_sharded_train_step_matches_unsharded(mesh):
     """One full train step (loss, grads, Adam, chain update) sharded over 8
     devices == single-device, bit-for-bit on the chain state and params."""
