@@ -70,6 +70,32 @@ def run_trained_chain(
     return trace
 
 
+def run_trained_chain_fused(
+    model: VaeModel, params, x_raw: Array, emb: Array, z0: Array,
+    cfg: EvalSamplerConfig, key: Array, seed: int,
+) -> Array:
+    """Single-launch fused variant of :func:`run_trained_chain`: the whole
+    2000-step composition protocol runs inside one Pallas kernel
+    (FusedVaeSampler collect_trace + max_composition). The nb-per-step
+    sequence is host-keyed from ``key`` (same distribution as the XLA
+    path; the in-kernel momentum/direction/accept PRNG is the kernel's
+    own stream, so the trace is statistically — not bitwise — equivalent,
+    like every fused cross-check in this repo)."""
+    from l2hmc_tpu.ops import FusedVaeSampler
+
+    n = z0.shape[0]
+    # Pallas lane rule: tile must be a multiple of 128 or tile == n
+    tile = 256 if n % 256 == 0 else n
+    sampler = FusedVaeSampler(model.dynamics, tile=tile)
+    _, _, trace = sampler.run(
+        params["smp"], params["dec"], x_raw, emb, z0,
+        seed=seed, n_mh_steps=cfg.n_steps,
+        collect_trace=True, max_composition=cfg.max_composition,
+        comp_key=key,
+    )
+    return trace
+
+
 def run_hmc_chain(
     model: VaeModel, params, aux: dict, z0: Array, eps: float,
     cfg: EvalSamplerConfig, key: Array,
@@ -111,9 +137,15 @@ def run(
     *,
     seed: int = 0,
     plot_path: Optional[str] = None,
+    use_fused: str = "auto",
 ) -> dict:
     """Full protocol; returns {'trained': curve, 'hmc': {eps: curve},
-    'data_source': provenance}."""
+    'data_source': provenance}.
+
+    ``use_fused``: "auto" runs the trained chain as ONE fused Pallas
+    launch on TPU (XLA fallback on any kernel failure, same policy as
+    apps/suite.py); "never" forces the XLA scan; "always" errors on
+    kernel failure (tests)."""
     dataset = dataset if dataset is not None else data_lib.get_data()
     print(f"[eval_sampler] data source: {dataset.source}")
     rng = np.random.default_rng(seed)
@@ -130,7 +162,22 @@ def run(
     k_enc, k_tr, k_hmc = jax.random.split(key, 3)
     z0, _, _ = encode(model, params, x0, k_enc)
 
-    trace = run_trained_chain(model, params, aux, z0, cfg, k_tr)
+    want_fused = use_fused == "always" or (
+        use_fused == "auto" and jax.default_backend() == "tpu"
+    )
+    trace = None
+    if want_fused:
+        try:
+            trace = run_trained_chain_fused(
+                model, params, x0, emb, z0, cfg, k_tr, seed=seed + 13
+            )
+            print("[eval_sampler] trained chain: fused single-launch")
+        except Exception as e:
+            if use_fused == "always":
+                raise
+            print(f"[eval_sampler] fused chain unavailable, XLA path: {e}")
+    if trace is None:
+        trace = run_trained_chain(model, params, aux, z0, cfg, k_tr)
     post = trace[cfg.burn_in :]
     mu = jnp.mean(post, axis=(0, 1))
 

@@ -1343,8 +1343,24 @@ def fused_chain_sampler(dynamics: Dynamics, target, **kw) -> FusedChainSampler:
 
 
 @functools.lru_cache(maxsize=None)
-def _make_vae_chain_kernel(T: int, n_mh_steps: int, cd_name: str = ""):
+def _make_vae_chain_kernel(
+    T: int, n_mh_steps: int, cd_name: str = "", collect_trace: bool = False,
+    max_inner: int = 0, tile: int = 0,
+):
     """K MH steps of the trained VAE posterior sampler in ONE launch.
+
+    ``collect_trace`` stages each recorded step's post-MH state into a
+    (chunk, d_pad, TILE) VMEM ring DMA'd to an HBM trace buffer once per
+    chunk — same machinery as :func:`_make_chain_kernel`, making the
+    sampler-quality eval protocol (eval_sampler.py:176-209) a single
+    launch. ``max_inner > 0`` enables the reference's random 1..max_inner
+    step *compositions* per recorded step (eval_sampler.py:161-162): the
+    per-step op count ``nb`` arrives as a host-keyed (1, K) VMEM constant
+    (so every tile and device sees the SAME sequence, matching the
+    reference's one-draw-per-step protocol), and all ``max_inner`` inner
+    MH ops execute with dead ops masked out (fixed shapes; the masked
+    extra work is the price of fusion). Reported acceptance averages over
+    live ops only.
 
     Unlike the Gaussian kernel, the energy here is the decoder likelihood
     U(z|x) = BCE(dec(z), x) + ||z||^2/2 (mnist_vae.py:122-127), so both the
@@ -1368,11 +1384,19 @@ def _make_vae_chain_kernel(T: int, n_mh_steps: int, cd_name: str = ""):
     cd = jnp.dtype(cd_name) if cd_name else None
 
     def kernel(seed_ref, eps_ref, masks_ref, *refs):
+        if max_inner:
+            nb_ref, refs = refs[0], refs[1:]
         a1, b1, a2, b2, a3, b3 = refs[:6]  # decoder, transposed layout
         xnet_w = [r[:] for r in refs[6 : 6 + _NET_ARRAYS]]
         vnet_w = [r[:] for r in refs[6 + _NET_ARRAYS : 6 + 2 * _NET_ARRAYS]]
         x_raw_ref, emb_ref, z_ref = refs[6 + 2 * _NET_ARRAYS : 9 + 2 * _NET_ARRAYS]
-        zo_ref, acc_ref = refs[-2], refs[-1]
+        if collect_trace:
+            zo_ref, acc_ref, trace_ref = refs[-5], refs[-4], refs[-3]
+            scratch_ref, dma_sem = refs[-2], refs[-1]
+            col0 = pl.program_id(0) * tile
+            chunk = scratch_ref.shape[0]
+        else:
+            zo_ref, acc_ref = refs[-2], refs[-1]
 
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
 
@@ -1416,8 +1440,7 @@ def _make_vae_chain_kernel(T: int, n_mh_steps: int, cd_name: str = ""):
         def kinetic(v):
             return 0.5 * jnp.sum(jnp.square(v), axis=0, keepdims=True)
 
-        def mh_step(_, carry):
-            z, acc_count = carry
+        def one_mh(z):
             v = _random_normal(z.shape)
             zf, vf, ldf = _trajectory(
                 xnet_w, vnet_w, grad_energy, masks, eps, T, False, z, v,
@@ -1438,16 +1461,71 @@ def _make_vae_chain_kernel(T: int, n_mh_steps: int, cd_name: str = ""):
             px = jnp.where(jnp.isfinite(px), px, jnp.zeros_like(px))
             u = _random_uniform(px.shape)
             acc = (px - u >= 0.0).astype(z.dtype)
-            z_new = acc * zp + (1.0 - acc) * z
-            return z_new, acc_count + acc
+            return acc * zp + (1.0 - acc) * z, acc
+
+        if max_inner:
+            nb = nb_ref[:]  # (1, K) host-keyed op counts, values 1..max_inner
+
+            def mh_step(step, carry):
+                z, acc_count, ops_count = carry
+                nb_t = _col_at(nb, step)  # (1, 1)
+                for j in range(max_inner):
+                    z_new, acc = one_mh(z)
+                    live = (nb_t > float(j)).astype(z.dtype)  # (1, 1)
+                    z = live * z_new + (1.0 - live) * z
+                    acc_count = acc_count + live * acc
+                    ops_count = ops_count + live
+                return z, acc_count, ops_count
+        else:
+
+            def mh_step(step, carry):
+                z, acc_count, ops_count = carry
+                z_new, acc = one_mh(z)
+                return z_new, acc_count + acc, ops_count + 1.0
+
+        if collect_trace:
+            d_pad = scratch_ref.shape[1]
+
+            def body(step, carry):
+                z_new, acc_count, ops_count = mh_step(step, carry)
+                slot = step % chunk
+                d = z_new.shape[0]
+                if d_pad > d:
+                    z_store = jnp.concatenate(
+                        [z_new,
+                         jnp.zeros((d_pad - d, z_new.shape[1]), z_new.dtype)],
+                        axis=0,
+                    )
+                else:
+                    z_store = z_new
+                scratch_ref[slot] = z_store
+
+                @pl.when(slot == chunk - 1)
+                def _():
+                    dma = pltpu.make_async_copy(
+                        scratch_ref,
+                        trace_ref.at[
+                            pl.ds(step - (chunk - 1), chunk),
+                            slice(None),
+                            pl.ds(col0, tile),
+                        ],
+                        dma_sem,
+                    )
+                    dma.start()
+                    dma.wait()
+
+                return z_new, acc_count, ops_count
+        else:
+            body = mh_step
 
         z0 = z_ref[:]
         acc0 = jnp.zeros_like(z0[:1])
-        z_final, acc_count = jax.lax.fori_loop(
-            0, n_mh_steps, mh_step, (z0, acc0)
+        ops0 = jnp.zeros((1, 1), z0.dtype)
+        z_final, acc_count, ops_count = jax.lax.fori_loop(
+            0, n_mh_steps, body, (z0, acc0, ops0)
         )
         zo_ref[:] = z_final
-        acc_ref[:] = acc_count * (1.0 / n_mh_steps)
+        acc_ref[:] = acc_count / ops_count
 
     return kernel
 
@@ -1809,12 +1887,22 @@ class FusedVaeSampler:
 
     def run(
         self, smp_params, dec_params, x_raw: Array, emb: Array, z: Array,
-        seed: int, n_mh_steps: int,
+        seed: int, n_mh_steps: int, *,
+        collect_trace: bool = False,
+        max_composition: int = 0,
+        comp_key: Array | None = None,
     ):
-        """Advance all chains n_mh_steps; returns (z_final, mean-accept).
+        """Advance all chains n_mh_steps; returns (z_final, mean-accept)
+        or, with ``collect_trace``, (z_final, acc, trace) where trace is
+        the (n_mh_steps, n_chains, latent) post-step state history.
 
         ``x_raw`` is the (n, 784) conditioning batch (already tiled per
-        chain), ``emb`` the precomputed (n, H) aux-encoder embedding."""
+        chain), ``emb`` the precomputed (n, H) aux-encoder embedding.
+        ``max_composition`` > 0 runs the reference sampler-quality
+        protocol's random op compositions (eval_sampler.py:161-162): each
+        recorded step applies nb ~ U{1..max_composition-1} MH ops, with
+        the nb sequence drawn host-side from ``comp_key`` (shared across
+        tiles/devices like the reference's single draw per step)."""
         dyn = self.dynamics
         d = dyn.dim
         n = z.shape[0]
@@ -1838,22 +1926,42 @@ class FusedVaeSampler:
             lin3["w"].T, col(lin3["b"]),
         ]
 
-        call = self._get_callable(n, tile, n_mh_steps)
-        zo, acc = call(
-            seed_arr, eps, masks, dec, xnet_w, vnet_w,
+        max_inner = max(0, max_composition - 1)
+        extra = []
+        if max_inner:
+            if comp_key is None:
+                raise ValueError("max_composition > 0 needs comp_key")
+            nb_seq = jax.random.randint(
+                comp_key, (n_mh_steps,), 1, max_composition
+            ).astype(jnp.float32).reshape(1, -1)
+            extra = [nb_seq]
+
+        call = self._get_callable(
+            n, tile, n_mh_steps, collect_trace, max_inner
+        )
+        out = call(
+            seed_arr, eps, masks, extra, dec, xnet_w, vnet_w,
             x_raw.T, emb.T, z.T,
         )
+        if collect_trace:
+            zo, acc, trace = out
+            return zo.T, acc[0], jnp.swapaxes(trace[:, :d, :], 1, 2)
+        zo, acc = out
         return zo.T, acc[0]
 
-    def _get_callable(self, n: int, tile: int, n_mh_steps: int):
-        key = (n, tile, n_mh_steps)
+    def _get_callable(
+        self, n: int, tile: int, n_mh_steps: int,
+        collect_trace: bool = False, max_inner: int = 0,
+    ):
+        key = (n, tile, n_mh_steps, collect_trace, max_inner)
         fn = self._jit_cache.get(key)
         if fn is not None:
             return fn
         dyn = self.dynamics
         d = dyn.dim
         kernel = _make_vae_chain_kernel(
-            dyn.T, n_mh_steps, self.compute_dtype or ""
+            dyn.T, n_mh_steps, self.compute_dtype or "",
+            collect_trace, max_inner, tile,
         )
         full = pl.BlockSpec(memory_space=pltpu.VMEM)
 
@@ -1864,8 +1972,29 @@ class FusedVaeSampler:
 
         n_weights = 2 * _NET_ARRAYS
 
+        out_specs = [chains_spec(d), chains_spec(1)]
+        out_shape = [
+            jax.ShapeDtypeStruct((d, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+        ]
+        scratch_shapes = []
+        if collect_trace:
+            # latent dim padded to the (8, 128) sublane tile for the DMA
+            # slice extents (see _make_chain_kernel)
+            d_pad = d if d <= 8 else -(-d // 8) * 8
+            out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+            out_shape.append(
+                jax.ShapeDtypeStruct((n_mh_steps, d_pad, n), jnp.float32)
+            )
+            chunk = _trace_chunk(n_mh_steps, row_bytes=d_pad * tile * 4)
+            scratch_shapes = [
+                pltpu.VMEM((chunk, d_pad, tile), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+            ]
+
         @jax.jit
-        def call(seed_arr, eps, masks, dec, xnet_w, vnet_w, xrT, embT, zT):
+        def call(seed_arr, eps, masks, extra, dec, xnet_w, vnet_w,
+                 xrT, embT, zT):
             return pl.pallas_call(
                 kernel,
                 grid=(n // tile,),
@@ -1873,22 +2002,22 @@ class FusedVaeSampler:
                     pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,)
                     full,  # eps (D, 1)
                     full,  # masks
+                    *([full] * len(extra)),  # nb sequence (1, K)
                     *([full] * 6),  # decoder
                     *([full] * n_weights),
                     chains_spec(xrT.shape[0]),  # x_raw
                     chains_spec(embT.shape[0]),  # emb
                     chains_spec(d),  # z
                 ],
-                out_specs=(chains_spec(d), chains_spec(1)),
-                out_shape=(
-                    jax.ShapeDtypeStruct((d, n), jnp.float32),
-                    jax.ShapeDtypeStruct((1, n), jnp.float32),
-                ),
+                out_specs=tuple(out_specs),
+                out_shape=tuple(out_shape),
+                scratch_shapes=scratch_shapes,
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=100 * 1024 * 1024
                 ),
                 interpret=self.interpret,
-            )(seed_arr, eps, masks, *dec, *xnet_w, *vnet_w, xrT, embT, zT)
+            )(seed_arr, eps, masks, *extra, *dec, *xnet_w, *vnet_w,
+              xrT, embT, zT)
 
         self._jit_cache[key] = call
         return call

@@ -513,3 +513,78 @@ def test_fused_chain_sampler_loop_traj_parity(setup):
         xl, al = looped.run(params, x0, seed=7, n_mh_steps=4)
     np.testing.assert_allclose(np.asarray(xl), np.asarray(xu), rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(al), np.asarray(au))
+
+
+def test_fused_vae_trace_and_composition():
+    """VAE kernel trace emission + random op compositions, exactly.
+
+    Zero-bit interpreter schedule (see test_fused_vae_sampler_exact_parity):
+    momentum constant, direction forward, accept always. The per-step op
+    counts nb come from the HOST key, so the compose kernel must equal
+    applying nb[t] XLA forward trajectories per recorded step — an exact
+    oracle for the live-masking logic — and trace[t] must be the state
+    after steps 0..t (eval_sampler.py:161-162 protocol)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from l2hmc_tpu.apps import vae
+    from l2hmc_tpu.ops import FusedVaeSampler
+
+    cfg = vae.VaeConfig(
+        latent_dim=10, leapfrogs=2, enc_hidden=32,
+        sampler_size1=16, sampler_size2=16, seed=0,
+    )
+    model = vae.VaeModel.build(cfg)
+    params = model.init_params(jax.random.key(0))
+    n, K, max_comp = 128, 4, 3
+    x_raw = (jax.random.uniform(jax.random.key(1), (n, 784)) < 0.3).astype(
+        jnp.float32
+    )
+    emb = model.aux_encoder.apply(params["smp"]["aux_enc"], x_raw)
+    z0 = jax.random.normal(jax.random.key(2), (n, cfg.latent_dim), jnp.float32)
+    comp_key = jax.random.key(3)
+
+    sampler = FusedVaeSampler(model.dynamics, tile=64)
+    with pltpu.force_tpu_interpret_mode():
+        # plain trace (no composition): trace[t] = state after t+1 MH steps
+        z_p, acc_p, tr_p = sampler.run(
+            params["smp"], params["dec"], x_raw, emb, z0, seed=5,
+            n_mh_steps=K, collect_trace=True,
+        )
+        # composed + traced
+        z_c, acc_c, tr_c = sampler.run(
+            params["smp"], params["dec"], x_raw, emb, z0, seed=5,
+            n_mh_steps=K, collect_trace=True, max_composition=max_comp,
+            comp_key=comp_key,
+        )
+    assert tr_p.shape == (K, n, cfg.latent_dim)
+    assert tr_c.shape == (K, n, cfg.latent_dim)
+    np.testing.assert_array_equal(np.asarray(acc_p), 1.0)
+    np.testing.assert_array_equal(np.asarray(acc_c), 1.0)
+    # the final state IS the last trace row (post-step convention)
+    np.testing.assert_array_equal(np.asarray(tr_p[-1]), np.asarray(z_p))
+    np.testing.assert_array_equal(np.asarray(tr_c[-1]), np.asarray(z_c))
+
+    # XLA replication of the zero-bits schedule
+    v_const = jnp.full_like(z0, float(np.sqrt(-2.0 * np.log(1e-7))))
+    aux = {"raw": x_raw, "emb": emb, "dec": params["dec"]}
+
+    def fwd(z):
+        z, _, _ = model.dynamics.forward(params["smp"], z, v_const, aux=aux)
+        return z
+
+    z = z0
+    for t in range(K):
+        z = fwd(z)
+        np.testing.assert_allclose(
+            np.asarray(tr_p[t]), np.asarray(z), rtol=2e-4, atol=2e-4
+        )
+
+    nb = np.asarray(jax.random.randint(comp_key, (K,), 1, max_comp))
+    assert set(np.unique(nb)) <= {1, 2} and len(set(nb)) > 1  # both counts hit
+    z = z0
+    for t in range(K):
+        for _ in range(int(nb[t])):
+            z = fwd(z)
+        np.testing.assert_allclose(
+            np.asarray(tr_c[t]), np.asarray(z), rtol=2e-4, atol=2e-4
+        )

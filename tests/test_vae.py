@@ -166,6 +166,31 @@ def test_eval_sampler(trained, tiny_data):
     assert np.isfinite(curves["hmc"][0.1]).all()
 
 
+def test_eval_sampler_fused_path(trained, tiny_data):
+    """use_fused='always' routes the trained chain through the fused
+    composition kernel (interpret mode here; compiled on TPU) and the full
+    protocol still produces finite curves."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    model, state, _ = trained
+    cfg = eval_sampler.EvalSamplerConfig(
+        leapfrogs=2,
+        latent_dim=4,
+        n_chains=8,
+        n_steps=20,
+        burn_in=5,
+        datapoint_index=3,
+        hmc_eps_grid=(0.1,),
+        max_autocov_lag=10,
+    )
+    with pltpu.force_tpu_interpret_mode():
+        curves = eval_sampler.run(
+            model, state.params, cfg, tiny_data, use_fused="always"
+        )
+    assert curves["trained"].shape == (10,)
+    assert np.isfinite(curves["trained"]).all()
+
+
 def test_eval_sampler_grid_keys_independent(trained, tiny_data, monkeypatch):
     """Regression: every HMC grid point must get its own PRNG key (the
     round-1 bug reused one key across the eps grid, correlating all
