@@ -182,14 +182,23 @@ def sharded_vae_run(
     z: Array,
     seed: int,
     n_mh_steps: int,
+    *,
+    collect_trace: bool = False,
+    max_composition: int = 0,
+    comp_key: Array | None = None,
 ):
     """``FusedVaeSampler.run`` distributed over the chain axis.
 
     The conditioning batch ``x_raw`` and aux embedding ``emb`` are per-chain
     data, so they shard with the chains; decoder + S/T/Q weights replicate.
     Same seed-offset determinism contract as :func:`sharded_chain_run`.
+    Trace emission and op compositions (eval_sampler protocol) compose with
+    the mesh: the host-keyed nb sequence replicates, so every device applies
+    the reference's one-draw-per-step op counts; the trace returns sharded
+    over its chain axis.
     """
     dyn = sampler.dynamics
+    d = dyn.dim
     n = z.shape[0]
     n_dev = mesh.shape[CHAIN_AXIS]
     n_local, tile = _local_tile(sampler, n, n_dev)
@@ -209,32 +218,57 @@ def sharded_vae_run(
         lin2["w"].T, col(lin2["b"]),
         lin3["w"].T, col(lin3["b"]),
     ]
-    cache_key = ("sharded_vae", mesh, n, tile, n_mh_steps)
+    max_inner = max(0, max_composition - 1)
+    extra = []
+    if max_inner:
+        if comp_key is None:
+            raise ValueError("max_composition > 0 needs comp_key")
+        nb_seq = jax.random.randint(
+            comp_key, (n_mh_steps,), 1, max_composition
+        ).astype(jnp.float32).reshape(1, -1)
+        extra = [nb_seq]
+
+    cache_key = (
+        "sharded_vae", mesh, n, tile, n_mh_steps, collect_trace, max_inner
+    )
     fn = sampler._jit_cache.get(cache_key)
     if fn is None:
-        call = sampler._get_callable(n_local, tile, n_mh_steps)
+        call = sampler._get_callable(
+            n_local, tile, n_mh_steps, collect_trace, max_inner
+        )
         tiles_per_dev = n_local // tile
 
-        def body(seed_arr, eps, masks, dec, xnet_w, vnet_w, xrT, embT, zT):
+        def body(seed_arr, eps, masks, extra, dec, xnet_w, vnet_w,
+                 xrT, embT, zT):
             idx = jax.lax.axis_index(CHAIN_AXIS)
             local_seed = seed_arr + idx.astype(jnp.int32) * tiles_per_dev
             return call(
-                local_seed, eps, masks, dec, xnet_w, vnet_w, xrT, embT, zT
+                local_seed, eps, masks, extra, dec, xnet_w, vnet_w,
+                xrT, embT, zT,
             )
 
         rep = P()
         cols = P(None, CHAIN_AXIS)
+        out_specs = (cols, cols) + (
+            (P(None, None, CHAIN_AXIS),) if collect_trace else ()
+        )
         fn = jax.jit(
             jax.shard_map(
                 body,
                 mesh=mesh,
-                in_specs=(rep, rep, rep, rep, rep, rep, cols, cols, cols),
-                out_specs=(cols, cols),
+                in_specs=(rep, rep, rep, rep, rep, rep, rep,
+                          cols, cols, cols),
+                out_specs=out_specs,
                 check_vma=False,
             )
         )
         sampler._jit_cache[cache_key] = fn
-    zo, acc = fn(
-        seed_arr, eps, masks, dec, xnet_w, vnet_w, x_raw.T, emb.T, z.T
+    out = fn(
+        seed_arr, eps, masks, extra, dec, xnet_w, vnet_w,
+        x_raw.T, emb.T, z.T,
     )
+    if collect_trace:
+        zo, acc, trace = out
+        return zo.T, acc[0], jnp.swapaxes(trace[:, :d, :], 1, 2)
+    zo, acc = out
     return zo.T, acc[0]

@@ -226,6 +226,27 @@ def test_sharded_fused_vae_matches_unsharded(mesh):
     np.testing.assert_array_equal(np.asarray(zs), np.asarray(zp))
     np.testing.assert_array_equal(np.asarray(accs), np.asarray(accp))
 
+    # trace + op compositions (eval_sampler protocol) compose with the
+    # mesh: the host-keyed nb sequence replicates, the per-device seed
+    # offset reproduces the unsharded tile layout -> bitwise parity
+    comp_key = jax.random.key(7)
+    with pltpu.force_tpu_interpret_mode():
+        zp, accp, trp = sampler.run(
+            params["smp"], params["dec"], x_raw, emb, z0, seed=3,
+            n_mh_steps=2, collect_trace=True, max_composition=3,
+            comp_key=comp_key,
+        )
+        zs, accs, trs = sharded_vae_run(
+            sampler, mesh, params["smp"], params["dec"],
+            parallel.shard_chains(mesh, x_raw),
+            parallel.shard_chains(mesh, emb),
+            parallel.shard_chains(mesh, z0), seed=3, n_mh_steps=2,
+            collect_trace=True, max_composition=3, comp_key=comp_key,
+        )
+    np.testing.assert_array_equal(np.asarray(zs), np.asarray(zp))
+    np.testing.assert_array_equal(np.asarray(trs), np.asarray(trp))
+    np.testing.assert_array_equal(np.asarray(accs), np.asarray(accp))
+
 
 # -- sharded AIS / parallel tempering (VERDICT r2 item 8) ---------------------
 
