@@ -151,6 +151,7 @@ def run_target(
     apply_overrides: bool = True,
     verbose: bool = True,
     profile_dir: str | None = None,
+    fused_hmc: bool = False,
     **hparams,
 ) -> dict:
     """Train L2HMC on one suite target and compare ESS against plain HMC.
@@ -313,13 +314,45 @@ def run_target(
         {hmc_eps} | {hmc_eps * f for f in (0.25, 0.5, 0.75, 1.5, 2.0, 3.0, 4.0)}
     )
     hmc_ess_by_eps = {}
-    k_hmc = jax.random.key(seed + 3)
-    for i, e in enumerate(grid):
-        _, hmc_trace = hmc_sample_chain(
-            target, float(e), leapfrogs, x0, eval_steps,
-            jax.random.fold_in(k_hmc, i),
-        )
-        hmc_ess_by_eps[round(float(e), 4)] = evaluate_ess(hmc_trace, cov)
+    hmc_grid_fused = False
+    if fused_hmc:
+        # opt-in: the whole grid chain runs the fused kernel with HMC-mode
+        # zero-weight stand-ins (exact leapfrog; ops/fused_dynamics
+        # _hmc_zero_net). ONE Mosaic compile serves every eps — the step
+        # size is a kernel input, not a constant. Off by default so the
+        # scored baseline keeps the JAX-keyed XLA chains (protocol
+        # stability across rounds); provenance recorded in the result.
+        try:
+            from l2hmc_tpu.dynamics import Dynamics
+            from l2hmc_tpu.ops import fused_chain_sampler
+
+            hdyn = Dynamics(
+                dim=dim, energy=target.energy, T=leapfrogs, hmc=True
+            )
+            tile = 2048 if n_chains % 2048 == 0 else n_chains
+            hsampler = fused_chain_sampler(hdyn, target, tile=tile)
+            hkey = jax.random.key(seed + 4)
+            for i, e in enumerate(grid):
+                hparams_e = hdyn.init_params(hkey, eps=float(e))
+                _, _, htrace = hsampler.run(
+                    hparams_e, x0, seed=seed + 100 + i,
+                    n_mh_steps=eval_steps, collect_trace=True,
+                )
+                hmc_ess_by_eps[round(float(e), 4)] = evaluate_ess(
+                    np.asarray(htrace), cov
+                )
+            hmc_grid_fused = True
+        except Exception as exc:  # any kernel failure -> XLA fallback
+            print(f"[suite:{name}] fused HMC grid unavailable, XLA: {exc}")
+            hmc_ess_by_eps = {}
+    if not hmc_ess_by_eps:
+        k_hmc = jax.random.key(seed + 3)
+        for i, e in enumerate(grid):
+            _, hmc_trace = hmc_sample_chain(
+                target, float(e), leapfrogs, x0, eval_steps,
+                jax.random.fold_in(k_hmc, i),
+            )
+            hmc_ess_by_eps[round(float(e), 4)] = evaluate_ess(hmc_trace, cov)
     best_eps, ess_hmc = max(hmc_ess_by_eps.items(), key=lambda kv: kv[1])
     ess_hmc_ref = hmc_ess_by_eps[round(float(hmc_eps), 4)]
 
@@ -334,6 +367,7 @@ def run_target(
         "hmc_ess_by_eps": hmc_ess_by_eps,
         "ess_ratio": ess_l2hmc / max(ess_hmc, 1e-12),
         "ess_ratio_at_config_eps": ess_l2hmc / max(ess_hmc_ref, 1e-12),
+        "hmc_grid_fused": hmc_grid_fused,
         "final_accept": float(np.mean(history["p_accept"][-100:])),
         "n_train_seeds": n_train_seeds,
         "selected_seed": (sel_seed if n_train_seeds > 1 else seed),
@@ -362,6 +396,9 @@ def main(argv=None):
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler (xprof) trace of each "
                         "target's training here")
+    p.add_argument("--fused_hmc", action="store_true",
+                   help="run the HMC baseline grid through the fused "
+                        "kernel (zero-weight exact-leapfrog mode)")
     args = p.parse_args(argv)
 
     results = []
@@ -373,6 +410,7 @@ def main(argv=None):
             leapfrogs=args.leapfrogs,
             eval_steps=args.eval_steps,
             seed=args.seed,
+            fused_hmc=args.fused_hmc,
             profile_dir=(
                 f"{args.profile_dir}/{name}" if args.profile_dir else None
             ),

@@ -75,6 +75,44 @@ def _net_scales(dynamics: Dynamics):
     return (None, 1.0 / s), (1.0 / s, s)
 
 
+def _hmc_zero_net(dim: int, T: int, h: int = 8) -> list[Array]:
+    """Zero-weight stand-in for the kernel's 13-array S/T/Q list.
+
+    With every weight zero, ``_apply_stq`` returns S = T = Q = 0 and the
+    augmented trajectory reduces EXACTLY to the plain leapfrog — the same
+    reduction ``Dynamics(hmc=True)`` implements (utils/dynamics.py:73-76;
+    oracle in tests/test_dynamics.py). This lets the whole-chain fused
+    kernels run the HMC baselines of the eval protocols (suite grid, phi4)
+    at fused speed; the hidden width 8 keeps the dead matmuls negligible.
+    """
+    def z(shape):
+        # explicit f32: the test harness enables x64, where jnp.zeros
+        # would default to f64 and poison the kernel's f32 refs
+        return jnp.zeros(shape, jnp.float32)
+
+    return [
+        z((dim, h)), z((dim, h)),
+        z((h, h)), z((h, 1)),
+        z((h, dim)), z((dim, 1)), z((dim, 1)),
+        z((h, dim)), z((dim, 1)),
+        z((h, dim)), z((dim, 1)), z((dim, 1)),
+        z((h, T)),
+    ]
+
+
+def _kernel_nets(dyn, params) -> tuple[list[Array], list[Array]]:
+    """(xnet_w, vnet_w) for the fused kernels: extracted from the params
+    pytree for a trained sampler, zero stand-ins in HMC mode."""
+    if dyn.hmc:
+        w = _hmc_zero_net(dyn.dim, dyn.T)
+        return w, w
+    xs, vs = _net_scales(dyn)
+    return (
+        _extract_net(params["xnet"], dyn.times, xs),
+        _extract_net(params["vnet"], dyn.times, vs),
+    )
+
+
 def _extract_net(
     net_params: Any, trig: np.ndarray, scales=(None, None)
 ) -> list[Array]:
@@ -712,9 +750,7 @@ class FusedDynamics:
         if n % tile != 0:
             raise ValueError(f"n_chains {n} must be divisible by tile {tile}")
 
-        xs, vs = _net_scales(dyn)
-        xnet_w = _extract_net(params["xnet"], dyn.times, xs)
-        vnet_w = _extract_net(params["vnet"], dyn.times, vs)
+        xnet_w, vnet_w = _kernel_nets(dyn, params)
         eps = _eps_col(dyn.eps(params), dyn.dim)
         masks = jnp.asarray(dyn.masks.T, jnp.float32)  # (D, T)
 
@@ -741,9 +777,10 @@ FusedGaussianDynamics = FusedDynamics
 
 def fused_for_target(dynamics: Dynamics, target, **kw) -> FusedDynamics:
     """Build the fused-trajectory accelerator for any spec-supported target
-    (Gaussian family, rough well, GMM — see energy_spec_for_target)."""
-    if dynamics.hmc:
-        raise ValueError("fused kernel targets the trained sampler path")
+    (Gaussian family, rough well, GMM — see energy_spec_for_target).
+    HMC-mode dynamics run with zero-weight net stand-ins (exact leapfrog
+    reduction — _hmc_zero_net), so the eval protocols' HMC baselines get
+    the same single-launch treatment as the trained sampler."""
     if getattr(dynamics, "eps_step", False):
         raise ValueError("fused kernels do not support eps_step (XLA-only)")
     return FusedDynamics(dynamics, energy_spec_for_target(target), **kw)
@@ -1229,9 +1266,7 @@ class FusedChainSampler:
         if n % tile != 0:
             raise ValueError(f"n_chains {n} must be divisible by tile {tile}")
 
-        xs, vs = _net_scales(dyn)
-        xnet_w = _extract_net(params["xnet"], dyn.times, xs)
-        vnet_w = _extract_net(params["vnet"], dyn.times, vs)
+        xnet_w, vnet_w = _kernel_nets(dyn, params)
         eps = _eps_col(dyn.eps(params), dyn.dim)
         masks = jnp.asarray(dyn.masks.T, jnp.float32)
         seed_arr = jnp.asarray([seed], jnp.int32)
@@ -1330,9 +1365,9 @@ def fused_chain_sampler(dynamics: Dynamics, target, **kw) -> FusedChainSampler:
     (Gaussian family, rough well, GMM — see energy_spec_for_target).
 
     Wide states (dim >= 2048, e.g. phi^4 64x64) default to the fori_loop
-    trajectory form — the T-unrolled form OOMs scoped VMEM there."""
-    if dynamics.hmc:
-        raise ValueError("fused kernel targets the trained sampler path")
+    trajectory form — the T-unrolled form OOMs scoped VMEM there.
+    HMC-mode dynamics run as exact leapfrog via zero-weight stand-ins
+    (_hmc_zero_net) — fused HMC baselines for the eval protocols."""
     if getattr(dynamics, "eps_step", False):
         raise ValueError("fused kernels do not support eps_step (XLA-only)")
     kw.setdefault("loop_traj", dynamics.dim >= 2048)

@@ -30,7 +30,7 @@ from l2hmc_tpu.ops.fused_dynamics import (
     FusedDynamics,
     _eps_col,
     _extract_net,
-    _net_scales,
+    _kernel_nets,
 )
 from l2hmc_tpu.parallel.mesh import CHAIN_AXIS
 
@@ -38,10 +38,9 @@ Array = jax.Array
 
 
 def _prep(dyn, params):
-    """Host-side weight/eps/mask prep shared by every fused entry point."""
-    xs, vs = _net_scales(dyn)
-    xnet_w = _extract_net(params["xnet"], dyn.times, xs)
-    vnet_w = _extract_net(params["vnet"], dyn.times, vs)
+    """Host-side weight/eps/mask prep shared by every fused entry point
+    (zero-weight stand-ins in HMC mode — see _kernel_nets)."""
+    xnet_w, vnet_w = _kernel_nets(dyn, params)
     eps = _eps_col(dyn.eps(params), dyn.dim)
     masks = jnp.asarray(dyn.masks.T, jnp.float32)
     return xnet_w, vnet_w, eps, masks

@@ -81,3 +81,22 @@ def test_suite_effective_config_precedence():
     )
     with pytest.raises(TypeError, match="unknown"):
         suite.effective_config("scg", bogus=1)
+
+
+@pytest.mark.slow
+def test_suite_fused_hmc_grid():
+    """--fused_hmc routes the HMC baseline grid through the fused kernel
+    (HMC-mode zero-weight stand-ins): provenance recorded, every grid cell
+    scored, one kernel compile serving all eps values (eps is a param)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from l2hmc_tpu.apps import suite
+
+    with pltpu.force_tpu_interpret_mode():
+        r = suite.run_target(
+            "scg", seed=0, n_steps=30, n_chains=64, eval_steps=40,
+            fused_hmc=True, verbose=False,
+        )
+    assert r["hmc_grid_fused"] is True
+    assert len(r["hmc_ess_by_eps"]) == 8
+    assert all(v > 0 for v in r["hmc_ess_by_eps"].values())

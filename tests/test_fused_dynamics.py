@@ -588,3 +588,36 @@ def test_fused_vae_trace_and_composition():
         np.testing.assert_allclose(
             np.asarray(tr_c[t]), np.asarray(z), rtol=2e-4, atol=2e-4
         )
+
+
+def test_fused_hmc_chain_exact_parity():
+    """HMC-mode dynamics in the whole-chain fused kernel: the zero-weight
+    S/T/Q stand-ins (_hmc_zero_net) must reduce the in-kernel trajectory
+    EXACTLY to plain leapfrog — checked against Dynamics(hmc=True).forward
+    under the zero-bits deterministic schedule, plus a trace run."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from l2hmc_tpu.dynamics import Dynamics
+    from l2hmc_tpu.ops import fused_chain_sampler
+    from l2hmc_tpu.targets import scg_gaussian
+
+    target = scg_gaussian()
+    dyn = Dynamics(dim=2, energy=target.energy, T=4, hmc=True)
+    params = dyn.init_params(jax.random.key(0), eps=0.1)
+    sampler = fused_chain_sampler(dyn, target, tile=128)
+    x0 = jax.random.normal(jax.random.key(1), (256, 2), jnp.float32)
+    n_steps = 5
+    with pltpu.force_tpu_interpret_mode():
+        x1, acc, tr = sampler.run(
+            params, x0, seed=7, n_mh_steps=n_steps, collect_trace=True
+        )
+    np.testing.assert_array_equal(np.asarray(acc), 1.0)
+    np.testing.assert_array_equal(np.asarray(tr[-1]), np.asarray(x1))
+
+    v_const = jnp.full_like(x0, float(np.sqrt(-2.0 * np.log(1e-7))))
+    x = x0
+    for t in range(n_steps):
+        x, _, _ = dyn.forward(params, x, v_const)
+        np.testing.assert_allclose(
+            np.asarray(tr[t]), np.asarray(x), rtol=2e-4, atol=2e-4
+        )
