@@ -51,11 +51,48 @@ def decoder_log_likelihood(
     max_datapoints: Optional[int] = None,
     logdir: Optional[str] = None,
     verbose: bool = True,
+    use_fused: str = "auto",
 ) -> float:
-    """Average AIS log-likelihood over datapoints (eval_vae.py:68-100)."""
+    """Average AIS log-likelihood over datapoints (eval_vae.py:68-100).
+
+    ``use_fused``: "auto" runs each AIS batch (anneal_steps x leapfrogs
+    annealed-HMC transitions) as ONE Pallas launch on TPU (FusedVaeAis;
+    XLA fallback on kernel failure); "never" forces the lax.scan path;
+    "always" errors on failure (tests)."""
     n = x.shape[0] if max_datapoints is None else min(max_datapoints, x.shape[0])
     k_chains = cfg.chains_per_datapoint
     final_energy = model.dynamics.energy  # posterior energy(z, aux)
+
+    fused_ais = None
+    if use_fused == "always" or (
+        use_fused == "auto" and jax.default_backend() == "tpu"
+    ):
+        from l2hmc_tpu.ops import FusedVaeAis
+
+        fused_ais = FusedVaeAis(latent_dim=cfg.latent_dim)
+
+    def fused_batch(batch_x, k):
+        tiled = jnp.repeat(batch_x, k_chains, axis=0)
+        m = tiled.shape[0]
+        k_z, k_seed = jax.random.split(k)
+        z0 = jax.random.normal(k_z, (m, cfg.latent_dim), jnp.float32)
+        ais = (
+            fused_ais if m % fused_ais.tile == 0
+            else FusedVaeAis(latent_dim=cfg.latent_dim, tile=m)
+        )
+        seed = int(jax.random.randint(k_seed, (), 0, 2**31 - 1))
+        w, acc = ais.run(
+            params["dec"], tiled, z0, seed=seed,
+            anneal_steps=cfg.anneal_steps, step_size=cfg.step_size,
+            leapfrogs=cfg.leapfrogs,
+        )
+        # per-datapoint logmeanexp over its k_chains group, summed
+        # (utils/ais.py:76-82; groups are consecutive after repeat)
+        groups = w.reshape(batch_x.shape[0], k_chains)
+        per_group = jax.nn.logsumexp(groups, axis=1) - jnp.log(
+            jnp.asarray(k_chains, jnp.float32)
+        )
+        return jnp.sum(per_group), jnp.mean(acc)
 
     @jax.jit
     def ais_batch(batch_x, k):
@@ -86,7 +123,17 @@ def decoder_log_likelihood(
     for i in range(0, n, cfg.num_splits):
         batch = jnp.asarray(x[i : i + cfg.num_splits], jnp.float32)
         key, k = jax.random.split(key)
-        est, acc = ais_batch(batch, k)
+        if fused_ais is not None:
+            try:
+                est, acc = fused_batch(batch, k)
+            except Exception as e:
+                if use_fused == "always":
+                    raise
+                print(f"[eval_vae] fused AIS unavailable, XLA path: {e}")
+                fused_ais = None
+                est, acc = ais_batch(batch, k)
+        else:
+            est, acc = ais_batch(batch, k)
         est_log_p += float(est)
         count += batch.shape[0]
         if verbose and i > 0:
@@ -110,6 +157,7 @@ def run(
     seed: int = 0,
     max_datapoints: Optional[int] = None,
     logdir: Optional[str] = None,
+    use_fused: str = "auto",
 ) -> float:
     """Full eval protocol: fixed binarization of the chosen split
     (eval_vae.py:72 used a precomputed .npy; here a seeded binarization)."""
@@ -120,5 +168,5 @@ def run(
     x = data_lib.binarize(rng, raw)
     return decoder_log_likelihood(
         model, params, x, cfg, jax.random.key(seed),
-        max_datapoints=max_datapoints, logdir=logdir,
+        max_datapoints=max_datapoints, logdir=logdir, use_fused=use_fused,
     )

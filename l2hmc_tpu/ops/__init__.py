@@ -7,6 +7,7 @@ from l2hmc_tpu.ops.fused_dynamics import (
     FusedChainSampler,
     FusedDynamics,
     FusedGaussianDynamics,
+    FusedVaeAis,
     FusedVaeSampler,
     differentiable_fused,
     energy_spec_for_target,
@@ -24,6 +25,7 @@ __all__ = [
     "FusedChainSampler",
     "FusedDynamics",
     "FusedGaussianDynamics",
+    "FusedVaeAis",
     "FusedVaeSampler",
     "differentiable_fused",
     "energy_spec_for_target",

@@ -2056,3 +2056,218 @@ class FusedVaeSampler:
 
         self._jit_cache[key] = call
         return call
+
+
+# -- fused AIS kernel (decoder log-likelihood eval, the heaviest protocol) ----
+
+
+@functools.lru_cache(maxsize=None)
+def _make_vae_ais_kernel(leapfrogs: int, anneal_steps: int, cd_name: str = ""):
+    """The FULL annealed-importance-sampling chain in ONE launch.
+
+    Reimplements evals/ais.py::ais_estimate for the VAE decoder target
+    (reference utils/ais.py:30-82, consumed by eval_vae.py): per anneal
+    step — fresh momentum, the reference's exact weight update
+    w += beta_diff * (E0 - E1)(x) BEFORE the transition, a plain-leapfrog
+    HMC trajectory at the interpolated energy
+    (1-beta) * ||z||^2/2 + beta * E_dec(z), and an MH accept. The decoder
+    energy + gradient run fully in-kernel (same math as
+    _make_vae_chain_kernel). The anneal count is static (one compile per
+    anneal_steps); the step size is a kernel INPUT, so the protocol's
+    eps variations reuse the compile.
+
+    At the reference protocol scale (anneal 8192, 20 chains/datapoint x 50
+    datapoints, 10 leapfrogs — mnist_vae.py:338-344) the XLA scan makes
+    8192 sequential host-launched... scan steps; this is one launch.
+    """
+    cd = jnp.dtype(cd_name) if cd_name else None
+
+    def kernel(seed_ref, eps_ref, beta_ref, *refs):
+        a1, b1, a2, b2, a3, b3 = refs[:6]
+        x_raw_ref, z_ref = refs[6], refs[7]
+        w_ref, acc_ref = refs[-2], refs[-1]
+
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+
+        eps = eps_ref[:]  # (1, 1) — broadcasts over (D, TILE)
+        beta = beta_ref[:]  # (1, K), linspace(0,1,K+1)[1:]
+        A1, B1 = a1[:], b1[:]
+        A2, B2 = a2[:], b2[:]
+        A3, B3 = a3[:], b3[:]
+        x_raw = x_raw_ref[:]
+
+        dot = _dot_in(cd)
+
+        def decoder(z):
+            p1 = dot(A1, z) + B1
+            h1 = jax.nn.softplus(p1)
+            p2 = dot(A2, h1) + B2
+            h2 = jax.nn.softplus(p2)
+            logits = dot(A3, h2) + B3
+            return p1, p2, logits
+
+        def grad_e1(z):
+            p1, p2, logits = decoder(z)
+            d3 = jax.nn.sigmoid(logits) - x_raw
+            d2 = dot(A3.T, d3) * jax.nn.sigmoid(p2)
+            d1 = dot(A2.T, d2) * jax.nn.sigmoid(p1)
+            return dot(A1.T, d1) + z
+
+        def e1(z):
+            *_, logits = decoder(z)
+            bce = jnp.sum(
+                jnp.maximum(logits, 0.0)
+                - logits * x_raw
+                + jnp.log1p(jnp.exp(-jnp.abs(logits))),
+                axis=0,
+                keepdims=True,
+            )
+            return bce + 0.5 * jnp.sum(jnp.square(z), axis=0, keepdims=True)
+
+        def e0(z):  # N(0, I) prior energy (eval_vae.py:60-63)
+            return 0.5 * jnp.sum(jnp.square(z), axis=0, keepdims=True)
+
+        beta_diff = (
+            _col_at(beta, 1) - _col_at(beta, 0)
+            if anneal_steps > 1 else _col_at(beta, 0)
+        )  # (1, 1)
+
+        def anneal_step(i, carry):
+            z, w, acc_sum = carry
+            b = _col_at(beta, i)  # (1, 1)
+
+            def grad_at(y):
+                return (1.0 - b) * y + b * grad_e1(y)
+
+            def energy_at(y):
+                return (1.0 - b) * e0(y) + b * e1(y)
+
+            # reference weight update BEFORE the transition (utils/ais.py:56)
+            w = w + beta_diff * (e0(z) - e1(z))
+
+            v = _random_normal(z.shape)
+            h0 = energy_at(z) + 0.5 * jnp.sum(
+                jnp.square(v), axis=0, keepdims=True
+            )
+
+            def lf(_, zv):
+                cz, cv = zv
+                cv = cv - 0.5 * eps * grad_at(cz)
+                cz = cz + eps * cv
+                cv = cv - 0.5 * eps * grad_at(cz)
+                return cz, cv
+
+            Z, V = jax.lax.fori_loop(0, leapfrogs, lf, (z, v))
+            h1v = energy_at(Z) + 0.5 * jnp.sum(
+                jnp.square(V), axis=0, keepdims=True
+            )
+            px = jnp.exp(jnp.minimum(h0 - h1v, 0.0))
+            px = jnp.where(jnp.isfinite(px), px, jnp.zeros_like(px))
+            u = _random_uniform(px.shape)
+            a = (px - u >= 0.0).astype(z.dtype)
+            z_new = a * Z + (1.0 - a) * z
+            return z_new, w, acc_sum + px
+
+        z0 = z_ref[:]
+        w0 = jnp.zeros_like(z0[:1])
+        a0 = jnp.zeros_like(z0[:1])
+        _, w, acc_sum = jax.lax.fori_loop(
+            0, anneal_steps, anneal_step, (z0, w0, a0)
+        )
+        w_ref[:] = w
+        acc_ref[:] = acc_sum * (1.0 / anneal_steps)
+
+    return kernel
+
+
+@dataclasses.dataclass(frozen=True)
+class FusedVaeAis:
+    """Single-launch AIS for the VAE decoder log-likelihood protocol.
+
+    ``run(dec_params, x_raw, z0, seed, anneal_steps, step_size)`` returns
+    (log_w per chain, mean acceptance per chain) — the caller applies the
+    reference's per-datapoint logmeanexp split (evals/ais.py:117-125).
+    In-kernel PRNG (statistically, not bitwise, equal to the XLA path);
+    exact-schedule parity is tested with the zero-bits interpreter oracle.
+    """
+
+    latent_dim: int
+    tile: int = 512
+    interpret: bool = False
+    compute_dtype: str = ""
+
+    def __post_init__(self):
+        object.__setattr__(self, "_jit_cache", {})
+
+    def run(
+        self, dec_params, x_raw: Array, z0: Array, seed: int,
+        anneal_steps: int, step_size: float, leapfrogs: int = 10,
+    ):
+        d = self.latent_dim
+        n = z0.shape[0]
+        tile = min(self.tile, n)
+        if n % tile != 0:
+            raise ValueError(f"n_chains {n} must be divisible by tile {tile}")
+
+        def col(b):
+            return b.reshape(-1, 1)
+
+        lin1, _, lin2, _, lin3 = dec_params
+        dec = [
+            lin1["w"].T, col(lin1["b"]),
+            lin2["w"].T, col(lin2["b"]),
+            lin3["w"].T, col(lin3["b"]),
+        ]
+        beta = jnp.linspace(
+            0.0, 1.0, anneal_steps + 1, dtype=jnp.float32
+        )[1:].reshape(1, -1)
+        eps_arr = jnp.full((1, 1), step_size, jnp.float32)
+        seed_arr = jnp.asarray([seed], jnp.int32)
+
+        call = self._get_callable(n, tile, anneal_steps, leapfrogs, d)
+        w, acc = call(seed_arr, eps_arr, beta, dec, x_raw.T, z0.T)
+        return w[0], acc[0]
+
+    def _get_callable(
+        self, n: int, tile: int, anneal_steps: int, leapfrogs: int, d: int
+    ):
+        key = (n, tile, anneal_steps, leapfrogs)
+        fn = self._jit_cache.get(key)
+        if fn is not None:
+            return fn
+        kernel = _make_vae_ais_kernel(
+            leapfrogs, anneal_steps, self.compute_dtype or ""
+        )
+        full = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+        def chains_spec(rows):
+            return pl.BlockSpec(
+                (rows, tile), lambda i: (0, i), memory_space=pltpu.VMEM
+            )
+
+        @jax.jit
+        def call(seed_arr, eps_arr, beta, dec, xrT, zT):
+            return pl.pallas_call(
+                kernel,
+                grid=(n // tile,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,)
+                    full,  # eps (1, 1)
+                    full,  # beta (1, K)
+                    *([full] * 6),  # decoder
+                    chains_spec(xrT.shape[0]),  # x_raw
+                    chains_spec(d),  # z0
+                ],
+                out_specs=(chains_spec(1), chains_spec(1)),
+                out_shape=(
+                    jax.ShapeDtypeStruct((1, n), jnp.float32),
+                    jax.ShapeDtypeStruct((1, n), jnp.float32),
+                ),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024
+                ),
+                interpret=self.interpret,
+            )(seed_arr, eps_arr, beta, *dec, xrT, zT)
+
+        self._jit_cache[key] = call
+        return call

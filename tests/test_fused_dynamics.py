@@ -621,3 +621,69 @@ def test_fused_hmc_chain_exact_parity():
         np.testing.assert_allclose(
             np.asarray(tr[t]), np.asarray(x), rtol=2e-4, atol=2e-4
         )
+
+
+def test_fused_vae_ais_exact_schedule():
+    """Fused AIS kernel vs a hand-replicated zero-bits schedule.
+
+    Zero random bits make the kernel pure: momentum = const c per element,
+    accept always. The XLA replication runs the SAME anneal loop (weight
+    update before the transition, plain leapfrog at the interpolated
+    energy) with that schedule — exact parity of the in-kernel decoder
+    energy, the beta interpolation, and the reference weight update
+    (utils/ais.py:30-82)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from l2hmc_tpu.apps import vae
+    from l2hmc_tpu.ops import FusedVaeAis
+
+    cfg = vae.VaeConfig(
+        latent_dim=6, leapfrogs=2, enc_hidden=16,
+        sampler_size1=8, sampler_size2=8, seed=0,
+    )
+    model = vae.VaeModel.build(cfg)
+    params = model.init_params(jax.random.key(0))
+    n, K, T_lf, eps = 64, 5, 3, 0.07
+    x_raw = (jax.random.uniform(jax.random.key(1), (n, 784)) < 0.3).astype(
+        jnp.float32
+    )
+    z0 = jax.random.normal(jax.random.key(2), (n, cfg.latent_dim), jnp.float32)
+
+    ais = FusedVaeAis(latent_dim=cfg.latent_dim, tile=32)
+    with pltpu.force_tpu_interpret_mode():
+        w, acc = ais.run(
+            params["dec"], x_raw, z0, seed=5, anneal_steps=K,
+            step_size=eps, leapfrogs=T_lf,
+        )
+    assert w.shape == (n,)
+    # acc accumulates the acceptance PROBABILITY (ais.py px_trace), not
+    # the indicator — with zero bits the move always applies (u = 0) but
+    # px < 1 wherever the leapfrog has energy error
+    assert np.all((np.asarray(acc) > 0.0) & (np.asarray(acc) <= 1.0))
+
+    # XLA replication
+    e1 = vae.posterior_energy(model.decoder)
+    aux = {"raw": x_raw, "dec": params["dec"]}
+
+    def e0(z):
+        return 0.5 * jnp.sum(jnp.square(z), axis=1)
+
+    beta = np.linspace(0.0, 1.0, K + 1, dtype=np.float32)[1:]
+    bdiff = beta[1] - beta[0]
+    c = float(np.sqrt(-2.0 * np.log(1e-7)))
+    z = z0
+    w_ref = jnp.zeros((n,))
+    for b in beta:
+        w_ref = w_ref + bdiff * (e0(z) - e1(z, aux=aux))
+        grad = jax.grad(
+            lambda y: float(1 - b) * jnp.sum(e0(y))
+            + float(b) * jnp.sum(e1(y, aux=aux))
+        )
+        v = jnp.full_like(z, c)
+        for _ in range(T_lf):
+            v = v - 0.5 * eps * grad(z)
+            z = z + eps * v
+            v = v - 0.5 * eps * grad(z)
+    np.testing.assert_allclose(
+        np.asarray(w), np.asarray(w_ref), rtol=2e-4, atol=2e-4
+    )

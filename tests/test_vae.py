@@ -148,6 +148,35 @@ def test_eval_vae_ais(trained, tiny_data):
     assert ll < 0
 
 
+def test_eval_vae_ais_fused_consistent(trained, tiny_data):
+    """The fused single-launch AIS (use_fused='always', interpret mode)
+    estimates the same decoder LL as the XLA scan within MC tolerance —
+    different RNG streams, same protocol (weight update, beta schedule,
+    per-datapoint logmeanexp split)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    model, state, _ = trained
+    cfg = eval_vae.EvalVaeConfig(
+        leapfrogs=2,
+        anneal_steps=16,
+        latent_dim=4,
+        chains_per_datapoint=8,
+        num_splits=4,
+    )
+    ll_xla = eval_vae.run(
+        model, state.params, cfg, tiny_data, max_datapoints=8,
+        use_fused="never",
+    )
+    with pltpu.force_tpu_interpret_mode():
+        ll_fused = eval_vae.run(
+            model, state.params, cfg, tiny_data, max_datapoints=8,
+            use_fused="always",
+        )
+    assert np.isfinite(ll_fused) and ll_fused < 0
+    # MC noise across independent streams: same scale, not bitwise
+    assert abs(ll_fused - ll_xla) / abs(ll_xla) < 0.05, (ll_fused, ll_xla)
+
+
 def test_eval_sampler(trained, tiny_data):
     model, state, _ = trained
     cfg = eval_sampler.EvalSamplerConfig(
