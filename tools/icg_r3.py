@@ -66,6 +66,16 @@ EXPERIMENTS = [
     # reciprocal term bites harder when v/scale ~ 1)
     ("pen20_scale1_k4", {"accept_penalty": 20.0, "scale": 1.0,
                          "n_train_seeds": 4}),
+    # wave 5: attack the timid-step basin from the initialization side.
+    # Trained acceptance saturates ~0.99 even under the penalty, i.e. the
+    # optimizer never leaves the small-step region it starts in (eps0=0.1,
+    # ~0.6x HMC's own tuned step). Start bolder: with the penalty as the
+    # restoring force, a 2.5-5x larger initial step changes which basin
+    # training explores rather than merely re-weighting the current one.
+    ("pen20_eps025_k4", {"accept_penalty": 20.0, "eps": 0.25,
+                         "n_train_seeds": 4}),
+    ("pen20_eps05_k4", {"accept_penalty": 20.0, "eps": 0.5,
+                        "n_train_seeds": 4}),
 ]
 
 
