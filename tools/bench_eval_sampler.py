@@ -26,7 +26,11 @@ def main():
     p.add_argument("--n_chains", type=int, default=200)
     p.add_argument("--n_steps", type=int, default=2000)
     p.add_argument("--out", type=str, default="eval_sampler_ab.json")
+    p.add_argument("--cpu_smoke", action="store_true",
+                   help="tiny sizes + interpret-mode kernel (API check)")
     args = p.parse_args()
+    if args.cpu_smoke:
+        args.n_chains, args.n_steps = 4, 6
 
     import jax
     import jax.numpy as jnp
@@ -56,6 +60,10 @@ def main():
     result = {"n_chains": ecfg.n_chains, "n_steps": ecfg.n_steps}
 
     def timed(fn):
+        # fn must reuse its compiled program across calls (the fused
+        # sampler instance's jit cache / a single jax.jit object) — a
+        # fresh closure per call would re-pay the remote compile inside
+        # the timed region
         t = fn()  # warm-up + compile
         jax.device_get(t)  # remote-runtime barrier (PARITY r3)
         t0 = time.perf_counter()
@@ -63,14 +71,47 @@ def main():
         jax.device_get(t)
         return time.perf_counter() - t0, t
 
-    dt_f, tr_f = timed(lambda: eval_sampler.run_trained_chain_fused(
-        model, params, x0, emb, z0, ecfg, key, seed=7))
+    # one sampler instance: its per-instance jit cache carries the
+    # compiled Mosaic program across the warm-up and timed calls
+    from l2hmc_tpu.ops import FusedVaeSampler
+
+    n = z0.shape[0]
+    tile = 256 if n % 256 == 0 else n
+    sampler = FusedVaeSampler(model.dynamics, tile=tile,
+                              interpret=args.cpu_smoke)
+    if args.cpu_smoke:
+        # interpreter needs the force-TPU context for pltpu.prng_*
+        import contextlib
+
+        from jax.experimental.pallas import tpu as pltpu
+
+        smoke_ctx = pltpu.force_tpu_interpret_mode()
+    else:
+        import contextlib
+
+        smoke_ctx = contextlib.nullcontext()
+
+    def fused_once():
+        _, _, trace = sampler.run(
+            params["smp"], params["dec"], x0, emb, z0,
+            seed=7, n_mh_steps=ecfg.n_steps,
+            collect_trace=True, max_composition=ecfg.max_composition,
+            comp_key=key,
+        )
+        return trace
+
+    with smoke_ctx:
+        dt_f, tr_f = timed(fused_once)
     result["fused_s"] = round(dt_f, 3)
     print(f"fused composition chain: {dt_f:.2f} s "
           f"({dt_f / ecfg.n_steps * 1e3:.2f} ms/recorded step)", flush=True)
 
-    dt_x, tr_x = timed(lambda: eval_sampler.run_trained_chain(
-        model, params, aux, z0, ecfg, key))
+    xla_chain = jax.jit(
+        lambda z, k: eval_sampler.run_trained_chain(
+            model, params, aux, z, ecfg, k
+        )
+    )
+    dt_x, tr_x = timed(lambda: xla_chain(z0, key))
     result["xla_s"] = round(dt_x, 3)
     result["speedup"] = round(dt_x / dt_f, 2)
     print(f"XLA composition chain: {dt_x:.2f} s -> fused speedup "
