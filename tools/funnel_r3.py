@@ -22,13 +22,22 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Ordered by a reduced-scale CPU pre-ranking (256 chains, 1500 steps,
+# seed 42 — /tmp/funnel_cpu_probe.json, r3 session 4): pen20 4.15x,
+# pen20_k4 3.95x, pen5 3.48x, baseline 2.28x, pen5_eps003 0.62x
+# (small eps is a clear negative despite doubling acceptance. The
+# penalty improves ESS ~2x while barely moving mean acceptance — it
+# regularizes the too-bold tail rather than shifting the mean).
+# Likely winners first so a time-boxed TPU window still scores them.
 EXPERIMENTS = [
-    ("baseline_r2", {}),
-    ("accept_pen5", {"accept_penalty": 5.0}),
     ("accept_pen20", {"accept_penalty": 20.0}),
-    ("pen5_k4", {"accept_penalty": 5.0, "n_train_seeds": 4}),
     ("pen20_k4", {"accept_penalty": 20.0, "n_train_seeds": 4}),
+    ("baseline_r2", {}),
+    ("accept_pen50", {"accept_penalty": 50.0}),  # penalty saturation check
+    ("accept_pen5", {"accept_penalty": 5.0}),
+    ("pen5_k4", {"accept_penalty": 5.0, "n_train_seeds": 4}),
     # smaller step with the penalty: let the trained eps find the neck
+    # (CPU pre-rank: strong negative — kept for the measured record)
     ("pen5_eps003", {"accept_penalty": 5.0, "eps": 0.03, "hmc_eps": 0.03}),
 ]
 
