@@ -50,32 +50,34 @@ EXPERIMENTS = [
     # factor; selection is on a held-out validation chain, not the test)
     ("pen20_k8", {"accept_penalty": 20.0, "n_train_seeds": 8,
                   "val_steps": 800}),
-    # wave 4: push past the 17x plateau toward the >=20x target.
-    # T=20 doubles the per-trajectory traversal of the sigma-10 axis
-    # (eps*T from 1.0 to 2.0 before net amplification); long20k helped
-    # the lucky seeds (pen20_long_seed7: 14.2x single-run) so combine it
-    # with the k8 pool; hidden 200 tests net capacity as the binding
-    # constraint.
-    ("pen20_T20_k4", {"accept_penalty": 20.0, "leapfrogs": 20,
-                      "n_train_seeds": 4}),
-    ("pen20_long_k8", {"accept_penalty": 20.0, "n_steps": 20000,
-                       "n_train_seeds": 8, "val_steps": 800}),
-    ("pen20_wide_k4", {"accept_penalty": 20.0, "hidden": 200,
-                       "n_train_seeds": 4}),
-    # the VERDICT's own suggestion: loss scale 1.0 (the mixed loss's
-    # reciprocal term bites harder when v/scale ~ 1)
-    ("pen20_scale1_k4", {"accept_penalty": 20.0, "scale": 1.0,
+    # waves 4+5, ORDERED by the reduced-scale CPU pre-ranking
+    # (256 chains, 2000 steps, pen20, seed 42 — icg_cpu_probe.json /
+    # icg_cpu_probe2.json, r3 session 4/5). Attack the timid-step basin
+    # from the initialization side: trained acceptance saturates ~0.99
+    # even under the penalty, i.e. the optimizer never leaves the
+    # small-step region it starts in (eps0=0.1, ~0.6x HMC's own tuned
+    # step). The probe puts the stability edge between eps0=0.25 and
+    # 0.3 (0.2 -> 2.1x, 0.25 -> 1.35x, 0.15 -> 1.7x, >=0.3 collapses)
+    # with ctrl at 0.66x — bolder-but-below-edge init is the axis.
+    ("pen20_eps02_k4", {"accept_penalty": 20.0, "eps": 0.2,
+                        "n_train_seeds": 4}),
+    ("pen20_eps015_k4", {"accept_penalty": 20.0, "eps": 0.15,
                          "n_train_seeds": 4}),
-    # wave 5: attack the timid-step basin from the initialization side.
-    # Trained acceptance saturates ~0.99 even under the penalty, i.e. the
-    # optimizer never leaves the small-step region it starts in (eps0=0.1,
-    # ~0.6x HMC's own tuned step). Start bolder: with the penalty as the
-    # restoring force, a 2.5-5x larger initial step changes which basin
-    # training explores rather than merely re-weighting the current one.
     ("pen20_eps025_k4", {"accept_penalty": 20.0, "eps": 0.25,
                          "n_train_seeds": 4}),
-    ("pen20_eps05_k4", {"accept_penalty": 20.0, "eps": 0.5,
-                        "n_train_seeds": 4}),
+    # long20k helped the lucky seeds (pen20_long_seed7: 14.2x
+    # single-run) so combine it with the k8 pool
+    ("pen20_long_k8", {"accept_penalty": 20.0, "n_steps": 20000,
+                       "n_train_seeds": 8, "val_steps": 800}),
+    # CPU-probe negatives, kept last for the measured record:
+    # T20 0.75x (and eps025_T20 0.03x), hidden-200 0.78x, scale1 0.56x,
+    # eps0=0.5 collapsed (accept -> 0) — eps05 arm dropped outright.
+    ("pen20_T20_k4", {"accept_penalty": 20.0, "leapfrogs": 20,
+                      "n_train_seeds": 4}),
+    ("pen20_wide_k4", {"accept_penalty": 20.0, "hidden": 200,
+                       "n_train_seeds": 4}),
+    ("pen20_scale1_k4", {"accept_penalty": 20.0, "scale": 1.0,
+                         "n_train_seeds": 4}),
 ]
 
 
