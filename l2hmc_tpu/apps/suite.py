@@ -111,6 +111,9 @@ _GLOBAL_DEFAULTS: dict = {
     "net_input_whiten": False,
     "scale": 0.1,  # the notebook's mixed-loss scale (cell 9)
     "eps_step": False,
+    # sigma-scaled per-dim eps init (ScgConfig.eps_sigma_init); needs
+    # eps_dim and a target covariance. Oracle-informed (tools/icg_oracle.py).
+    "eps_sigma_init": 0.0,
     "accept_penalty": 0.0,
     "accept_target": 0.65,
     # multi-seed train-and-select (VERDICT r2 item 7): train k runs at
@@ -191,6 +194,7 @@ def run_target(
             eps_trainable=eps_trainable,
             eps_dim=eff["eps_dim"],
             eps_step=eff["eps_step"],
+            eps_sigma_init=eff["eps_sigma_init"],
             accept_penalty=eff["accept_penalty"],
             accept_target=eff["accept_target"],
             z_burn_in_loss=eff["z_burn_in_loss"],

@@ -159,16 +159,22 @@ class Dynamics:
 
     # -- params ------------------------------------------------------------
 
-    def init_params(self, key: Array, eps: float = 0.1) -> Params:
+    def init_params(self, key: Array, eps=0.1) -> Params:
         """{"alpha": log eps, "xnet": ..., "vnet": ...} pytree.
 
-        With ``eps_dim`` alpha is (dim,) — every dimension starts at the
-        same ``eps`` and differentiates during training."""
-        alpha = jnp.asarray(np.log(eps), jnp.float32)
+        ``eps`` may be a scalar or, with ``eps_dim``/``eps_step``, a
+        (dim,)/(T,) vector — a per-dimension init is how a known scale
+        structure (e.g. the target's sigma_i) seeds the learned diagonal
+        preconditioner instead of every dimension starting equal."""
+        alpha = jnp.log(jnp.asarray(eps, jnp.float32))
         if self.eps_dim:
-            alpha = jnp.full((self.dim,), alpha, jnp.float32)
+            alpha = jnp.broadcast_to(alpha, (self.dim,)).astype(jnp.float32)
         elif self.eps_step:
-            alpha = jnp.full((self.T,), alpha, jnp.float32)
+            alpha = jnp.broadcast_to(alpha, (self.T,)).astype(jnp.float32)
+        elif alpha.ndim != 0:
+            raise ValueError(
+                "vector eps init requires eps_dim or eps_step"
+            )
         if self.hmc:
             return {"alpha": alpha, "xnet": (), "vnet": ()}
         kx, kv = jax.random.split(key)

@@ -67,6 +67,16 @@ class ScgConfig:
     # per-leapfrog-step trainable step size (Dynamics.eps_step): a learned
     # (T,) schedule over the trajectory. Rebuild-only; XLA path only.
     eps_step: bool = False
+    # initialize the per-dimension step size at eps_sigma_init * sigma_i
+    # (requires eps_dim and a target with a known covariance). Using the
+    # target scale at TRAINING time has the same precedent as whiten_loss
+    # (the reference's VAE loss divides by sigma_q^2, mnist_vae.py:209-210);
+    # the difference is where the information enters — the loss vs the
+    # integrator init. Motivated by the ICG oracle (tools/icg_oracle.py):
+    # HMC-mode eps_i = 0.1 sigma_i scores ESS 0.32 under the suite protocol
+    # while every scalar-init recipe plateaus ~0.05-0.12 — the diagonal
+    # basin exists but scalar-init training never finds it. 0 disables.
+    eps_sigma_init: float = 0.0
     # acceptance-targeted penalty: loss += accept_penalty *
     # mean((p_accept - accept_target)^2). Attacks the shrink-to-accept
     # plateau (ICG trains to acceptance ~1 = step-timid, VERDICT r2 weak
@@ -218,10 +228,14 @@ def make_optimizer(config: ScgConfig) -> optax.GradientTransformation:
     return opt, schedule
 
 
-def init_state(config: ScgConfig, dynamics: Dynamics, optimizer) -> TrainState:
+def init_state(
+    config: ScgConfig, dynamics: Dynamics, optimizer, eps_init=None
+) -> TrainState:
     key = jax.random.key(config.seed)
     k_params, k_x, k_run = jax.random.split(key, 3)
-    params = dynamics.init_params(k_params, eps=config.eps)
+    params = dynamics.init_params(
+        k_params, eps=config.eps if eps_init is None else eps_init
+    )
     opt_state = optimizer.init(params)
     # chains start from N(0, I) (cell 12: samples = np.random.randn(...))
     x = jax.random.normal(k_x, (config.n_chains, config.dim), jnp.float32)
@@ -307,8 +321,20 @@ def train(
     """
     dynamics, target = build_dynamics(config, target)
     optimizer, schedule = make_optimizer(config)
+    eps_init = None
+    if config.eps_sigma_init > 0:
+        if not config.eps_dim:
+            raise ValueError("eps_sigma_init requires eps_dim")
+        sigma = getattr(target, "sigma", None)
+        if sigma is None or np.asarray(sigma).ndim != 2:
+            raise ValueError(
+                "eps_sigma_init requires a target with a known covariance"
+            )
+        eps_init = config.eps_sigma_init * np.sqrt(
+            np.diag(np.asarray(sigma))
+        ).astype(np.float32)
     if state is None:
-        state = init_state(config, dynamics, optimizer)
+        state = init_state(config, dynamics, optimizer, eps_init=eps_init)
     step_dynamics = dynamics
     if config.fused_train:
         if config.init_temperature > 1.0:

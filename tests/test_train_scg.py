@@ -91,3 +91,41 @@ def test_whiten_loss_requires_covariance():
     cfg = ScgConfig(dim=10, n_chains=8, T=2, n_steps=2, whiten_loss=True)
     with pytest.raises(ValueError, match="covariance"):
         train(cfg, target=targets.RoughWell(dim=10, eps=0.1))
+
+
+def test_eps_sigma_init_seeds_diagonal_preconditioner():
+    """eps_sigma_init: alpha starts at log(c * sigma_i) (oracle-informed
+    diagonal preconditioning, tools/icg_oracle.py) and training proceeds
+    from there; a vector init requires eps_dim."""
+    import numpy as np
+    import pytest
+
+    from l2hmc_tpu import targets
+    from l2hmc_tpu.train import ScgConfig, train
+
+    tgt = targets.ill_conditioned_gaussian(10, 4.0)
+    sigma_i = np.sqrt(np.diag(np.asarray(tgt.sigma)))
+    cfg = ScgConfig(
+        dim=10, n_chains=16, T=2, hidden=8, n_steps=1, seed=3,
+        eps_dim=True, eps_sigma_init=0.1,
+        z_burn_in_loss=False, whiten_loss=True,
+    )
+    state, hist = train(cfg, target=tgt)
+    # one Adam step (lr 1e-3) moves alpha negligibly vs the init spread
+    np.testing.assert_allclose(
+        np.asarray(state.params["alpha"]), np.log(0.1 * sigma_i), atol=0.05
+    )
+    assert np.isfinite(hist["loss"]).all()
+
+    with pytest.raises(ValueError, match="eps_dim"):
+        train(
+            ScgConfig(dim=10, n_chains=8, T=2, n_steps=1,
+                      eps_sigma_init=0.1),
+            target=tgt,
+        )
+    with pytest.raises(ValueError, match="covariance"):
+        train(
+            ScgConfig(dim=10, n_chains=8, T=2, n_steps=1, eps_dim=True,
+                      eps_sigma_init=0.1),
+            target=targets.RoughWell(dim=10, eps=0.1),
+        )

@@ -72,6 +72,20 @@ EXPERIMENTS = [
     # CPU-probe negatives, kept last for the measured record:
     # T20 0.75x (and eps025_T20 0.03x), hidden-200 0.78x, scale1 0.56x,
     # eps0=0.5 collapsed (accept -> 0) — eps05 arm dropped outright.
+    # wave 6, ORACLE-INFORMED (tools/icg_oracle.py -> icg_oracle.json):
+    # HMC-mode eps_i = 0.1*sigma_i scores ESS 0.32 under this exact eval
+    # protocol (46x the scalar-tuned HMC bar) at acceptance 0.994 — far
+    # above every trained recipe (0.05-0.12). The architecture subsumes
+    # diagonal preconditioning but scalar-init training never finds the
+    # basin (waves 1-5; the full-scale eps0 arms above are a clean
+    # negative). Seed the learned preconditioner AT the oracle point —
+    # eps_sigma_init consumes the same target covariance whiten_loss
+    # already does — and let training refine it instead of find it.
+    ("sig01", {"eps_dim": True, "eps_sigma_init": 0.1}),
+    ("sig01_eps_frozen", {"eps_dim": True, "eps_sigma_init": 0.1,
+                          "eps_trainable": False}),
+    ("sig01_pen20", {"eps_dim": True, "eps_sigma_init": 0.1,
+                     "accept_penalty": 20.0}),
     ("pen20_T20_k4", {"accept_penalty": 20.0, "leapfrogs": 20,
                       "n_train_seeds": 4}),
     ("pen20_wide_k4", {"accept_penalty": 20.0, "hidden": 200,
