@@ -116,6 +116,18 @@ _GLOBAL_DEFAULTS: dict = {
     "eps_sigma_init": 0.0,
     "accept_penalty": 0.0,
     "accept_target": 0.65,
+    # frozen-vs-trainable eps resolution knobs (ScgConfig round-4 docs):
+    # scaled/delayed alpha updates + trust region on alpha, so training can
+    # refine the nets without destroying a certified-good eps init.
+    "alpha_lr_scale": 1.0,
+    "eps_unfreeze_step": 0,
+    "alpha_reg": 0.0,
+    # per-dimension mixed ESJD (mcmc.loss_mixed_per_dim)
+    "per_dim_loss": False,
+    # HMC-mode dynamics with trainable eps: a learned diagonal
+    # preconditioner when combined with eps_dim (ScgConfig.hmc docs)
+    "hmc_mode": False,
+    "learning_rate": 1e-3,  # notebook cell 10
     # multi-seed train-and-select (VERDICT r2 item 7): train k runs at
     # distinct seeds, score each on a short validation chain (measured
     # ESS), evaluate only the winner. Generalizes select_best (which picks
@@ -197,6 +209,12 @@ def run_target(
             eps_sigma_init=eff["eps_sigma_init"],
             accept_penalty=eff["accept_penalty"],
             accept_target=eff["accept_target"],
+            alpha_lr_scale=eff["alpha_lr_scale"],
+            eps_unfreeze_step=eff["eps_unfreeze_step"],
+            alpha_reg=eff["alpha_reg"],
+            per_dim_loss=eff["per_dim_loss"],
+            hmc=eff["hmc_mode"],
+            learning_rate=eff["learning_rate"],
             z_burn_in_loss=eff["z_burn_in_loss"],
             whiten_loss=eff["whiten_loss"],
             net_input_whiten=eff["net_input_whiten"],

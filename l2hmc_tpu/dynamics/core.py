@@ -185,9 +185,16 @@ class Dynamics:
         }
 
     def eps(self, params: Params) -> Array:
-        """eps = exp(alpha) (utils/dynamics.py:49-58)."""
+        """eps = exp(alpha) (utils/dynamics.py:49-58).
+
+        Intentional difference: the reference hard-freezes eps in HMC mode
+        (utils/dynamics.py:58); here ``eps_trainable`` is the sole gate, so
+        an HMC-mode integrator with ``eps_dim`` can train alpha alone — a
+        learned diagonal preconditioner with no networks (the ICG oracle's
+        basin, tools/icg_oracle.py, made learnable). Plain-HMC baselines
+        are unaffected: they never differentiate through the sampler."""
         alpha = params["alpha"]
-        if self.hmc or not self.eps_trainable:
+        if not self.eps_trainable:
             alpha = jax.lax.stop_gradient(alpha)
         return jnp.exp(alpha)
 

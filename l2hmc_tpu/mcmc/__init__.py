@@ -6,6 +6,7 @@ from l2hmc_tpu.mcmc.losses import (
     loss_inverse,
     loss_logsumexp,
     loss_mixed,
+    loss_mixed_per_dim,
     loss_std,
     loss_vec,
     scg_joint_loss,
@@ -38,6 +39,7 @@ __all__ = [
     "loss_inverse",
     "loss_logsumexp",
     "loss_mixed",
+    "loss_mixed_per_dim",
     "loss_std",
     "loss_vec",
     "scg_joint_loss",

@@ -43,6 +43,26 @@ def loss_mixed(
     return jnp.mean(1.0 / v) - jnp.mean(v)
 
 
+def loss_mixed_per_dim(
+    x: Array, x_prop: Array, p_accept: Array, scale: float | Array = 1.0
+) -> Array:
+    """Per-DIMENSION mixed ESJD. Rebuild-only (no reference analog).
+
+    The reference's ``loss_vec`` sums squared jumps over dimensions
+    (utils/losses.py:36-37), so a sampler can score well while one stiff
+    dimension never moves — its contribution to the sum is negligible next
+    to the wide dimensions even after whitening. Here the reciprocal
+    reward applies per dimension: with the chain-expected per-dim ESJD
+    ``v_d = E_n[(X_d - x_d)^2 p] + 1e-4`` the loss is
+    ``mean_d[scale / v_d - v_d / scale]`` — any dimension with a small
+    expected jump pays the full reciprocal penalty. Pair with whitened
+    jumps so dimensions are in comparable units.
+    """
+    jump = jnp.square(x_prop - x) * p_accept[:, None]  # (n, d)
+    v_d = jnp.mean(jump, axis=0) + 1e-4  # (d,)
+    return jnp.mean(scale / v_d) - jnp.mean(v_d / scale)
+
+
 def scg_joint_loss(x, lx, px, z, lz, pz, scale: float = 0.1) -> Array:
     """The notebook's dual target-chain + burn-in-chain loss
     (SCGExperiment.ipynb cell 9):

@@ -47,6 +47,14 @@ class ScgConfig:
     net_type: str = "dense"
     conv_channels: int = 32
     conv_depth: int = 2
+    # HMC-mode dynamics (zero networks, exact leapfrog) under the SAME
+    # training loop: with eps_dim + eps_trainable this trains a pure
+    # diagonal step-size preconditioner by ESJD — the ICG oracle's basin
+    # (tools/icg_oracle.py: eps_i = 0.1 sigma_i scores ESS 0.32 where the
+    # trained-net recipes plateau at 0.05-0.18) as a LEARNED model with 'dim'
+    # parameters and no target-covariance knowledge. Round-4 rebuild-only
+    # extension; the reference's hmc mode is eval-only (utils/dynamics.py:58).
+    hmc: bool = False
     scale: float = 0.1  # loss scale (cell 9)
     learning_rate: float = 1e-3
     lr_decay_rate: float = 0.96
@@ -84,6 +92,28 @@ class ScgConfig:
     # larger integrator steps than the raw ESJD objective settles for.
     accept_penalty: float = 0.0
     accept_target: float = 0.65
+    # --- frozen-vs-trainable eps resolution (round 4) -----------------------
+    # The ICG oracle (tools/icg_oracle.py) certifies the diagonal
+    # eps_i = 0.1 sigma_i basin at ESS 0.32, and eps_sigma_init + frozen eps
+    # captures most of it (25.9x, icg_r3.json sig01_eps_frozen) — but
+    # training with TRAINABLE eps destroys the certified init (4.5x; the
+    # optimizer re-enters the shrink-to-accept basin). These three knobs let
+    # training refine the nets without wrecking the preconditioner:
+    # multiplier on alpha's OPTIMIZER UPDATE. Adam normalizes gradient
+    # magnitude, so scaling the gradient would be a no-op — the update is
+    # scaled after optimizer.update instead. 1.0 = shared learning rate.
+    alpha_lr_scale: float = 1.0
+    # alpha updates zeroed until this step: the S/T/Q nets adapt around the
+    # certified-good eps init before eps becomes trainable. 0 = off.
+    eps_unfreeze_step: int = 0
+    # trust-region penalty tying alpha = log eps to its initialization:
+    # loss += alpha_reg * mean((alpha - alpha0)^2).
+    alpha_reg: float = 0.0
+    # per-DIMENSION mixed ESJD (mcmc.loss_mixed_per_dim): the chain-expected
+    # squared jump of EVERY dimension earns its own reciprocal penalty, so
+    # the stiff dims can't hide behind the wide ones. Replaces the summed
+    # loss_vec objective; combine with whiten_loss for comparable units.
+    per_dim_loss: bool = False
     # include the notebook's auxiliary burn-in term (fresh z ~ N(0, I)
     # proposals, cell 9). On wide-scale targets (paper ICG, sigma up to 10)
     # the z-chains start far outside the typical set; their distance term
@@ -154,6 +184,19 @@ class TrainState(NamedTuple):
 def build_dynamics(config: ScgConfig, target=None) -> tuple[Dynamics, Any]:
     """Dynamics + target for the SCG experiment (notebook cells 3, 5)."""
     target = targets.scg_gaussian() if target is None else target
+    if config.hmc:
+        dyn = Dynamics(
+            dim=config.dim,
+            energy=target.energy,
+            T=config.T,
+            hmc=True,
+            mask_seed=config.mask_seed,
+            eps_trainable=config.eps_trainable,
+            eps_dim=config.eps_dim,
+            eps_step=config.eps_step,
+            use_temperature=config.init_temperature > 1.0,
+        )
+        return dyn, target
     if config.net_type == "conv":
         L = int(round(np.sqrt(config.dim)))
         if L * L != config.dim:
@@ -243,18 +286,25 @@ def init_state(
 
 
 def make_train_step(
-    config: ScgConfig, dynamics: Dynamics, optimizer, loss_sigmas=None
+    config: ScgConfig, dynamics: Dynamics, optimizer, loss_sigmas=None,
+    *, alpha0=None,
 ):
     """One jitted training step: joint loss on (x, z) proposals, Adam update,
     chain state advanced by the x-proposal's MH output (cell 12 fetches
     ``output[0]``). ``loss_sigmas`` (dim,) whitens the jump distance when
-    ``config.whiten_loss`` (train() derives it from the target covariance)."""
+    ``config.whiten_loss`` (train() derives it from the target covariance).
+    ``alpha0`` is the log-eps init for the ``alpha_reg`` trust region
+    (train() derives it from eps_sigma_init / config.eps)."""
     sig = None
     if loss_sigmas is not None:
         sig = jnp.asarray(loss_sigmas, jnp.float32)[None, :]
+    if config.alpha_reg > 0 and alpha0 is None:
+        alpha0 = jnp.log(jnp.asarray(config.eps, jnp.float32))
 
     def whiten(a):
         return a / sig if sig is not None else a
+
+    mixed = mcmc.loss_mixed_per_dim if config.per_dim_loss else mcmc.loss_mixed
 
     def loss_fn(params, x, key, temperature):
         k_x, k_z, k_zprop = jax.random.split(key, 3)
@@ -268,19 +318,32 @@ def make_train_step(
                 k_zprop, dynamics, params, z, remat=config.remat,
                 temperature=temperature,
             )
-            loss = mcmc.scg_joint_loss(
-                whiten(x), whiten(out_x.x_prop), out_x.p_accept,
-                whiten(z), whiten(out_z.x_prop), out_z.p_accept,
-                scale=config.scale,
-            )
+            if config.per_dim_loss:
+                loss = mixed(
+                    whiten(x), whiten(out_x.x_prop), out_x.p_accept,
+                    scale=config.scale,
+                ) + mixed(
+                    whiten(z), whiten(out_z.x_prop), out_z.p_accept,
+                    scale=config.scale,
+                )
+            else:
+                loss = mcmc.scg_joint_loss(
+                    whiten(x), whiten(out_x.x_prop), out_x.p_accept,
+                    whiten(z), whiten(out_z.x_prop), out_z.p_accept,
+                    scale=config.scale,
+                )
         else:
-            loss = mcmc.loss_mixed(
+            loss = mixed(
                 whiten(x), whiten(out_x.x_prop), out_x.p_accept,
                 scale=config.scale,
             )
         if config.accept_penalty > 0:
             loss = loss + config.accept_penalty * jnp.square(
                 jnp.mean(out_x.p_accept) - config.accept_target
+            )
+        if config.alpha_reg > 0:
+            loss = loss + config.alpha_reg * jnp.mean(
+                jnp.square(params["alpha"] - alpha0)
             )
         return loss, (out_x.x_next, out_x.p_accept)
 
@@ -293,6 +356,14 @@ def make_train_step(
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.params
         )
+        if config.alpha_lr_scale != 1.0 or config.eps_unfreeze_step > 0:
+            ua = updates["alpha"] * config.alpha_lr_scale
+            if config.eps_unfreeze_step > 0:
+                ua = jnp.where(
+                    state.step >= config.eps_unfreeze_step,
+                    ua, jnp.zeros_like(ua),
+                )
+            updates = {**updates, "alpha": ua}
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params, opt_state, x_next, key, state.step + 1)
         metrics = {
@@ -357,7 +428,13 @@ def train(
                 "whiten_loss requires a target with a known covariance"
             )
         loss_sigmas = np.sqrt(np.diag(np.asarray(sigma)))
-    step_fn = make_train_step(config, step_dynamics, optimizer, loss_sigmas)
+    alpha0 = None
+    if config.alpha_reg > 0:
+        e0 = config.eps if eps_init is None else eps_init
+        alpha0 = jnp.log(jnp.asarray(e0, jnp.float32))
+    step_fn = make_train_step(
+        config, step_dynamics, optimizer, loss_sigmas, alpha0=alpha0
+    )
 
     if config.n_chains < 1:
         raise ValueError(f"n_chains must be >= 1, got {config.n_chains}")

@@ -146,6 +146,36 @@ def test_loss_values_on_fixed_inputs():
     )
 
 
+def test_loss_mixed_per_dim_oracle():
+    """Per-dimension mixed ESJD: hand-computed value, and a frozen
+    dimension must cost more than a uniformly-mixing one."""
+    x = jnp.zeros((2, 2))
+    xp = jnp.array([[1.0, 0.0], [0.0, 2.0]])
+    p = jnp.array([1.0, 0.5])
+    # v_d = mean_n[(xp_d - x_d)^2 p] + 1e-4
+    v_d = np.array([(1.0 * 1.0 + 0.0) / 2 + 1e-4, (0.0 + 4.0 * 0.5) / 2 + 1e-4])
+    np.testing.assert_allclose(
+        float(mcmc.loss_mixed_per_dim(x, xp, p, scale=2.0)),
+        np.mean(2.0 / v_d) - np.mean(v_d / 2.0),
+        rtol=1e-6,
+    )
+    # same TOTAL jump, but dim 1 frozen: summed loss_vec is indifferent,
+    # the per-dim loss pays the reciprocal penalty on the frozen dim
+    ones = jnp.ones((4, 1))
+    spread = jnp.concatenate([ones, ones], axis=1)  # both dims jump 1
+    frozen = jnp.concatenate([jnp.sqrt(2.0) * ones, 0.0 * ones], axis=1)
+    pa = jnp.ones((4,))
+    z = jnp.zeros((4, 2))
+    np.testing.assert_allclose(
+        float(mcmc.loss_mixed(z, spread, pa)),
+        float(mcmc.loss_mixed(z, frozen, pa)),
+        rtol=1e-5,
+    )
+    assert float(mcmc.loss_mixed_per_dim(z, frozen, pa)) > float(
+        mcmc.loss_mixed_per_dim(z, spread, pa)
+    ) + 100.0
+
+
 def test_get_loss_registry():
     for name in ("mixed", "standard", "inverse", "logsumexp"):
         assert callable(mcmc.get_loss(name))

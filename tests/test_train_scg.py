@@ -129,3 +129,93 @@ def test_eps_sigma_init_seeds_diagonal_preconditioner():
                       eps_sigma_init=0.1),
             target=targets.RoughWell(dim=10, eps=0.1),
         )
+
+
+def test_alpha_update_knobs():
+    """Round-4 frozen-vs-trainable eps resolution: eps_unfreeze_step holds
+    alpha at its init until the given step; alpha_lr_scale shrinks alpha
+    motion; alpha_reg pulls alpha back toward the init."""
+    import numpy as np
+
+    from l2hmc_tpu import targets
+    from l2hmc_tpu.train import ScgConfig, train
+
+    tgt = targets.ill_conditioned_gaussian(6, 2.0)
+    base = dict(
+        dim=6, n_chains=16, T=2, hidden=8, seed=3,
+        z_burn_in_loss=False, whiten_loss=True,
+    )
+    a0 = np.log(0.1)
+
+    # frozen until step 30: after 20 steps alpha is exactly the init
+    state, _ = train(
+        ScgConfig(n_steps=20, eps_unfreeze_step=30, **base), target=tgt
+    )
+    assert float(state.params["alpha"]) == np.float32(a0)
+    # ... and moves once training crosses the unfreeze step
+    state, _ = train(
+        ScgConfig(n_steps=60, eps_unfreeze_step=30, **base), target=tgt
+    )
+    moved_after_unfreeze = abs(float(state.params["alpha"]) - a0)
+    assert moved_after_unfreeze > 1e-5
+
+    # alpha_lr_scale: scaled updates move alpha less than unscaled ones
+    state_full, _ = train(ScgConfig(n_steps=60, **base), target=tgt)
+    state_slow, _ = train(
+        ScgConfig(n_steps=60, alpha_lr_scale=0.01, **base), target=tgt
+    )
+    d_full = abs(float(state_full.params["alpha"]) - a0)
+    d_slow = abs(float(state_slow.params["alpha"]) - a0)
+    assert d_slow < 0.25 * d_full
+
+    # alpha_reg: a strong trust region keeps alpha near the init
+    state_reg, _ = train(
+        ScgConfig(n_steps=60, alpha_reg=1e4, **base), target=tgt
+    )
+    d_reg = abs(float(state_reg.params["alpha"]) - a0)
+    assert d_reg < d_full
+
+
+def test_per_dim_loss_trains():
+    """per_dim_loss: the per-dimension mixed ESJD objective trains stably
+    (finite losses, alpha finite) on an anisotropic target."""
+    import numpy as np
+
+    from l2hmc_tpu import targets
+    from l2hmc_tpu.train import ScgConfig, train
+
+    tgt = targets.ill_conditioned_gaussian(6, 2.0)
+    cfg = ScgConfig(
+        dim=6, n_chains=16, T=2, hidden=8, n_steps=30, seed=3,
+        per_dim_loss=True, whiten_loss=True, scale=0.1,
+    )
+    state, hist = train(cfg, target=tgt)
+    assert np.isfinite(hist["loss"]).all()
+    assert np.isfinite(np.asarray(state.params["alpha"])).all()
+
+
+def test_hmc_mode_learned_diagonal_preconditioner():
+    """ScgConfig.hmc + eps_dim + eps_trainable trains a pure diagonal
+    step-size preconditioner by ESJD (no networks). On an anisotropic
+    target the per-dim alphas must differentiate (learn structure), and
+    the learned eps ordering should track the target's sigma ordering."""
+    import numpy as np
+
+    from l2hmc_tpu import targets
+    from l2hmc_tpu.train import ScgConfig, train
+
+    tgt = targets.ill_conditioned_gaussian(6, 2.0)
+    cfg = ScgConfig(
+        dim=6, n_chains=64, T=4, n_steps=250, seed=3, hmc=True,
+        eps_dim=True, per_dim_loss=True, whiten_loss=True, scale=0.1,
+        z_burn_in_loss=False, learning_rate=1e-2,
+    )
+    state, hist = train(cfg, target=tgt)
+    alpha = np.asarray(state.params["alpha"])
+    assert alpha.shape == (6,)
+    assert np.isfinite(hist["loss"]).all()
+    # the alphas must have separated from the uniform init...
+    assert alpha.std() > 0.05
+    # ...in the direction of the target's scale structure
+    log_sigma = np.log(np.sqrt(np.diag(np.asarray(tgt.sigma))))
+    assert np.corrcoef(alpha, log_sigma)[0, 1] > 0.5
