@@ -15,6 +15,13 @@ Round-2 additions (VERDICT.md):
     for L2HMC vs HMC;
   - a jax.profiler trace artifact around one training chunk
     (bench_artifacts/xprof) so kernel work is profile-guided.
+
+Round-4 (VERDICT r3 weak #1): the single-seed headline wobbled +-7% across
+rounds (48.0x, 48.0x, 44.8x) and landed below baseline once; the ESJD
+objective's seed noise is real and documented (PARITY seed tables). The
+headline is now the MEDIAN over three full train+eval runs at seeds
+{0, 1, 2} — per-seed ratios are reported alongside, and the fused-kernel
+eval/throughput numbers come from the median seed's sampler.
 """
 
 from __future__ import annotations
@@ -135,27 +142,64 @@ def main():
     # Notebook protocol (T=10, eps0=0.1, 5000 steps, Adam+decay, dual loss)
     # with the chain count raised 200 -> 1024: chains are the TPU scaling
     # axis, the larger batch stabilizes the ESJD gradient, and training still
-    # takes ~20 s on one v5e chip (reference: minutes on 2017 hardware).
-    # Measured across seeds {0,1,2}: ESS ratio 45.8-48.0 (reference: 46).
-    cfg = ScgConfig(n_chains=1024, seed=1)
+    # takes ~20 s per seed on one v5e chip (reference: minutes on 2017
+    # hardware). Headline = MEDIAN over seeds {0, 1, 2} (round-4 de-noising).
+    seeds = (0, 1, 2)
     eval_steps, hmc_eps = 2000, 0.15
-    dynamics, target = build_dynamics(cfg)
+    n_steps, n_chains = 5000, 1024
+    if os.environ.get("BENCH_SMOKE"):  # tiny-budget CI/CPU smoke of this
+        # script's own control flow; never used for reported numbers
+        n_steps, n_chains, eval_steps = 60, 64, 80
+    dynamics, target = build_dynamics(ScgConfig(n_chains=n_chains))
 
     # profile one training chunk into an xprof-readable artifact; the full
     # run follows untraced (tracing every step costs wall-clock)
     profile_dir = os.path.join(os.path.dirname(__file__), "bench_artifacts", "xprof")
     try:
         with trace(profile_dir):
-            train(ScgConfig(n_chains=1024, seed=1, n_steps=50))
+            train(ScgConfig(n_chains=n_chains, seed=1, n_steps=50))
         profiled = True
     except Exception as e:  # profiling must never sink the benchmark
         print(f"# profiler trace skipped: {e}")
         profiled = False
 
-    t0 = time.perf_counter()
-    state, history = train(cfg)
-    jax.block_until_ready(state.params)
-    train_time = time.perf_counter() - t0
+    # one full train+eval per seed (XLA-keyed protocol paths only); the
+    # median seed's sampler then carries the fused-kernel numbers below
+    per_seed = []
+    for s in seeds:
+        cfg = ScgConfig(n_chains=n_chains, seed=s, n_steps=n_steps)
+        t0 = time.perf_counter()
+        state, history = train(cfg)
+        jax.block_until_ready(state.params)
+        train_time = time.perf_counter() - t0
+        x0 = target.sample(jax.random.key(cfg.seed + 1), cfg.n_chains)
+        _, xla_trace = sample_chain(
+            dynamics, state.params, x0, eval_steps,
+            jax.random.key(cfg.seed + 2),
+        )
+        _, hmc_trace = hmc_sample_chain(
+            target, hmc_eps, cfg.T, x0, eval_steps,
+            jax.random.key(cfg.seed + 3),
+        )
+        ess_l = evaluate_ess(xla_trace, target.sigma)
+        ess_h = evaluate_ess(hmc_trace, target.sigma)
+        per_seed.append({
+            "seed": s,
+            "cfg": cfg,
+            "state": state,
+            "history": history,
+            "train_time": train_time,
+            "ess_l2hmc": ess_l,
+            "ess_hmc": ess_h,
+            "ratio": ess_l / max(ess_h, 1e-12),
+        })
+        print(f"# seed {s}: ESS ratio {per_seed[-1]['ratio']:.1f}x "
+              f"(L2HMC {ess_l:.4f} / HMC {ess_h:.5f})")
+
+    med = sorted(per_seed, key=lambda r: r["ratio"])[len(per_seed) // 2]
+    cfg, state, history = med["cfg"], med["state"], med["history"]
+    train_time = med["train_time"]
+    ess_l2hmc, ess_hmc, ratio = med["ess_l2hmc"], med["ess_hmc"], med["ratio"]
 
     # compiled-parity gate before any fused number is trusted
     parity_err = compiled_parity_gate(dynamics, target, state.params)
@@ -184,8 +228,8 @@ def main():
     jax.block_until_ready(fused_trace)
     eval_time = time.perf_counter() - t1
 
-    # XLA-keyed eval path: ESS parity check (different RNG stream — the
-    # estimates must agree statistically, not bitwise)
+    # XLA-keyed eval path timing (the ESS itself came from the per-seed
+    # loop — the exact reference protocol, stable across rounds)
     t2 = time.perf_counter()
     _, xla_trace = sample_chain(
         dynamics, state.params, x0, eval_steps, jax.random.key(cfg.seed + 2)
@@ -193,22 +237,14 @@ def main():
     jax.block_until_ready(xla_trace)
     eval_time_xla = time.perf_counter() - t2
 
-    # headline ESS from the XLA-keyed eval (the exact reference protocol,
-    # stable across rounds); the fused single-launch trace must agree within
-    # MC tolerance and carries the eval-time claim
+    # the fused single-launch trace must agree within MC tolerance and
+    # carries the eval-time claim
     ess_l2hmc_fused = evaluate_ess(fused_trace, target.sigma)
-    ess_l2hmc = evaluate_ess(xla_trace, target.sigma)
     rel = abs(ess_l2hmc_fused - ess_l2hmc) / max(ess_l2hmc, 1e-12)
     assert rel < 0.30, (
         f"fused-trace ESS {ess_l2hmc_fused} vs XLA-path ESS {ess_l2hmc}: "
         f"relative gap {rel:.2f} exceeds tolerance"
     )
-
-    _, hmc_trace = hmc_sample_chain(
-        target, hmc_eps, cfg.T, x0, eval_steps, jax.random.key(cfg.seed + 3)
-    )
-    ess_hmc = evaluate_ess(hmc_trace, target.sigma)
-    ratio = ess_l2hmc / max(ess_hmc, 1e-12)
 
     # throughput at the 8192-chain scale target + ESS/sec/chip composite
     lf_xla, lf_fused, mh_sps_fused = leapfrog_throughput(
@@ -222,9 +258,14 @@ def main():
     result = {
         "metric": "scg_ess_ratio",
         "value": round(ratio, 3),
-        "unit": "x (L2HMC ESS / HMC ESS per MH step, SCG 2-D)",
+        "unit": "x (L2HMC ESS / HMC ESS per MH step, SCG 2-D; "
+                "median of 3 seeds)",
         "vs_baseline": round(ratio / BASELINE_ESS_RATIO, 4),
         "extra": {
+            "ess_ratio_per_seed": {
+                str(r["seed"]): round(r["ratio"], 2) for r in per_seed
+            },
+            "median_seed": cfg.seed,
             "ess_l2hmc": round(ess_l2hmc, 6),
             "ess_l2hmc_fused_trace": round(ess_l2hmc_fused, 6),
             "ess_hmc": round(ess_hmc, 6),

@@ -61,15 +61,20 @@ _TARGET_OVERRIDES: dict[str, dict] = {
     # whitened x-only ESJD is load-bearing on the paper-conditioned target:
     # the raw joint loss is gamed into acceptance collapse (icg_round2/3
     # sweeps; ScgConfig docstrings). Round 3 (icg_r3.json): the ESJD
-    # objective is a seed lottery (same-config final ESS spans 15x across
-    # seeds, and the r2 artifact's 7.9x stopped reproducing after a TPU
-    # toolchain drift), so the recipe adds the acceptance-targeted penalty
-    # (0.84x -> 5-6x per seed) and multi-seed train-and-select (validation
-    # chain, not test). Measured at k=8: 17.4x/10.2x/13.8x best-vs-best
-    # over outer seeds {42, 7, 13}; k=4 keeps most of it at half the cost.
+    # objective is a seed lottery, so the recipe carries the
+    # acceptance-targeted penalty (0.84x -> 5-6x per seed) and multi-seed
+    # train-and-select (validation chain, not test). Round 4 ships the
+    # oracle-informed sigma-scaled per-dim eps init with FROZEN eps
+    # (tools/icg_oracle.py certifies the diagonal eps_i = 0.1 sigma_i
+    # basin at ESS 0.32; trainable eps re-enters the shrink-to-accept
+    # basin and destroys the init — 25.9x -> 4.5x, icg_r3.json
+    # sig01 vs sig01_eps_frozen). Measured best-vs-best over outer seeds
+    # {42, 7, 13, 21}: 25.9x / 32.7x / 19.2x / 25.5x (was 17.4/10.2/13.8
+    # with the r3 pen20+k8 recipe).
     "icg": {"hidden": 100, "eps": 0.1, "hmc_eps": 0.15, "n_steps": 10000,
             "init_temperature": 5.0, "whiten_loss": True,
             "z_burn_in_loss": False, "accept_penalty": 20.0,
+            "eps_dim": True, "eps_sigma_init": 0.1, "eps_trainable": False,
             "n_train_seeds": 4, "val_steps": 800},
     # measured sweep (icg_rough_sweep.json): shorter trajectories at a
     # moderate step size beat the tiny-eps full-length recipe 2x+ — the

@@ -1,0 +1,192 @@
+"""Defensible MFU figures for the fused VAE sampler kernel (VERDICT r3 #9).
+
+PARITY.md's analytic-FLOP TFLOP/s for the bf16 kernel computed to ~235
+TFLOP/s — above the v5e bf16 peak — so the analytic per-chain FLOP model
+(tools/bench_vae_kernel.py::flops_per_chain_step) over-counts and is not a
+defensible MFU denominator. This tool replaces it with two measured ones:
+
+  1. XLA cost-model FLOPs: lower+compile the EQUIVALENT XLA
+     scan-of-propose program for the same chain count and MH steps and
+     read ``compiled.cost_analysis()['flops']`` — the compiler's own
+     count of the work this computation performs. MFU = cost_flops /
+     wall_time / peak. The same denominator serves f32 and bf16 (same
+     math, different operand dtype).
+  2. xprof device duty cycle: profile the fused kernel run and read the
+     device-busy fraction from the op_profile/overview tools, so the
+     wall-clock number is attributable to on-device time rather than
+     dispatch gaps.
+
+v5e peaks used: 197 TFLOP/s bf16, 98.5 TFLOP/s f32 (half rate).
+
+Usage (TPU, run alone): python tools/mfu_fused_vae.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+
+PEAK_BF16 = 197e12
+PEAK_F32 = 98.5e12
+
+
+def _force(out):
+    import jax
+    import numpy as np
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(jax.device_get(leaf)).ravel()[:1]
+    return out
+
+
+def xprof_duty_cycle(logdir: str) -> dict:
+    """Device busy stats from the xplane trace under ``logdir``.
+
+    Returns {} when conversion is unavailable — the MFU numbers then rest
+    on the cost-model denominator alone."""
+    try:
+        from xprof.convert import raw_to_tool_data as rtd
+
+        runs = sorted(glob.glob(os.path.join(
+            logdir, "plugins", "profile", "*")))
+        if not runs:
+            return {}
+        xp = glob.glob(os.path.join(runs[-1], "*.xplane.pb"))
+        data, _ = rtd.xspace_to_tool_data(xp, "op_profile", {})
+        s = data if isinstance(data, str) else data.decode()
+        op = json.loads(s)
+        out = {}
+        # byCategory tree carries fitted/raw FLOP-rate fields per node
+        for key in ("byProgram", "byCategory"):
+            node = op.get(key) or {}
+            metrics = node.get("metrics") or {}
+            if metrics:
+                out[key] = metrics
+        out["deviceType"] = op.get("deviceType")
+        return out
+    except Exception as e:  # tooling drift must not sink the measurement
+        return {"error": f"{type(e).__name__}: {e}"}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--n_chains", type=int, default=8192)
+    p.add_argument("--mh_steps", type=int, default=200)
+    p.add_argument("--tile", type=int, default=512)
+    p.add_argument("--out", type=str, default="mfu_fused_vae.json")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from l2hmc_tpu import mcmc
+    from l2hmc_tpu.apps import data as data_lib, vae
+    from l2hmc_tpu.ops import FusedVaeSampler
+
+    cfg = vae.VaeConfig()  # reference arch: latent 50, T=5, decoder 1024
+    model = vae.VaeModel.build(cfg)
+    params = model.init_params(jax.random.key(0))
+    n, K = args.n_chains, args.mh_steps
+
+    ds = data_lib.get_data()
+    rng = np.random.default_rng(0)
+    x_one = data_lib.binarize(rng, ds.train[: max(n // 8, 1)])
+    x_raw = jnp.asarray(np.tile(x_one, (-(-n // x_one.shape[0]), 1))[:n])
+    emb = model.aux_encoder.apply(params["smp"]["aux_enc"], x_raw)
+    z0 = jax.random.normal(
+        jax.random.key(1), (n, cfg.latent_dim), jnp.float32
+    )
+
+    # --- denominator: XLA cost model of the equivalent computation -------
+    aux = {"raw": x_raw, "emb": emb, "dec": params["dec"]}
+
+    @jax.jit
+    def xla_chain(z, key):
+        def step(z, k):
+            out = mcmc.propose(
+                k, model.dynamics, params["smp"], z, aux=aux,
+                do_mh_step=True,
+            )
+            return out.x_next, None
+
+        keys = jax.random.split(key, K)
+        z, _ = jax.lax.scan(step, z, keys)
+        return z
+
+    lowered = xla_chain.lower(z0, jax.random.key(2))
+    compiled = lowered.compile()
+    ca = compiled.cost_analysis()
+    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+    cost_flops = float(ca.get("flops", float("nan")))
+    result = {
+        "n_chains": n,
+        "mh_steps": K,
+        "xla_cost_flops_total": cost_flops,
+        "xla_cost_flops_per_chain_step": cost_flops / (n * K),
+    }
+    print(f"XLA cost-model FLOPs: {cost_flops:.3e} total "
+          f"({cost_flops / (n * K):.0f} per chain per MH step)")
+
+    # XLA wall time for the same program (reference point)
+    _force(xla_chain(z0, jax.random.key(3)))
+    t0 = time.perf_counter()
+    _force(xla_chain(z0, jax.random.key(4)))
+    dt_xla = time.perf_counter() - t0
+    result["xla_ms_per_step"] = round(dt_xla / K * 1e3, 3)
+    result["xla_tflops_costmodel"] = round(cost_flops / dt_xla / 1e12, 2)
+    result["xla_mfu_f32_peak"] = round(cost_flops / dt_xla / PEAK_F32, 4)
+
+    # --- fused kernel: f32 and bf16, wall time + xprof duty --------------
+    for name, cd, peak in (("f32", "", PEAK_F32),
+                           ("bf16", "bfloat16", PEAK_BF16)):
+        sampler = FusedVaeSampler(
+            model.dynamics, tile=min(args.tile, n), compute_dtype=cd
+        )
+
+        def run(seed):
+            return sampler.run(
+                params["smp"], params["dec"], x_raw, emb, z0, seed=seed,
+                n_mh_steps=K,
+            )
+
+        _force(run(3))
+        t0 = time.perf_counter()
+        _force(run(4))
+        dt = time.perf_counter() - t0
+
+        logdir = f"/tmp/mfu_xprof_{name}"
+        try:
+            with jax.profiler.trace(logdir):
+                _force(run(5))
+            prof = xprof_duty_cycle(logdir)
+        except Exception as e:
+            prof = {"error": f"{type(e).__name__}: {e}"}
+
+        r = {
+            "ms_per_step": round(dt / K * 1e3, 3),
+            "tflops_costmodel": round(cost_flops / dt / 1e12, 2),
+            "mfu_vs_peak": round(cost_flops / dt / peak, 4),
+            "peak_tflops": peak / 1e12,
+            "xprof": prof,
+        }
+        result[f"fused_{name}"] = r
+        print(f"fused {name}: {r['ms_per_step']} ms/step, "
+              f"{r['tflops_costmodel']} TFLOP/s (cost-model), "
+              f"MFU {100 * r['mfu_vs_peak']:.1f}% of "
+              f"{peak / 1e12:.0f} TFLOP/s peak")
+
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=2)
+    print("->", args.out)
+
+
+if __name__ == "__main__":
+    main()
