@@ -36,9 +36,21 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Every arm is SELF-CONTAINED on the round-4 knobs: the suite icg recipe
+# now ships the round-4 winner (frozen/sigma-init fields included), so an
+# arm that merely omitted a knob would silently inherit the shipped value
+# when re-run in a fresh process (measured: a "sig01_unfreeze5k" seed
+# follow-up started inheriting eps_trainable=False from the updated
+# table — mislabeled experiment, killed). NEUTRAL pins the r3-era base.
+NEUTRAL = {
+    "eps_trainable": True, "eps_dim": False, "eps_sigma_init": 0.0,
+    "per_dim_loss": False, "hmc_mode": False, "eps_unfreeze_step": 0,
+    "alpha_lr_scale": 1.0, "alpha_reg": 0.0, "learning_rate": 1e-3,
+}
+
 SIG01 = {"eps_dim": True, "eps_sigma_init": 0.1}
 
-EXPERIMENTS = [
+RAW_EXPERIMENTS = [
     # --- A: learned diagonal preconditioner (zero nets, 50 params) -------
     ("hmcdiag_perdim", {"hmc_mode": True, "eps_dim": True,
                         "per_dim_loss": True, "learning_rate": 1e-2}),
@@ -46,6 +58,15 @@ EXPERIMENTS = [
                             "per_dim_loss": True}),
     ("hmcdiag_mixed", {"hmc_mode": True, "eps_dim": True,
                        "learning_rate": 1e-2}),
+    # A2: start the 50-param diagonal model AT the oracle point with
+    # TRAINABLE alpha — isolates whether ESJD training destroys the
+    # certified init even without nets in the loop (the sig01-vs-frozen
+    # stake, minus the networks).
+    ("hmcdiag_sig01_perdim", {"hmc_mode": True, "eps_dim": True,
+                              "eps_sigma_init": 0.1,
+                              "per_dim_loss": True}),
+    ("hmcdiag_sig01_mixed", {"hmc_mode": True, "eps_dim": True,
+                             "eps_sigma_init": 0.1}),
     # --- B: sigma-init nets, freeze-resolution knobs ---------------------
     ("sig01_alpha001", {**SIG01, "alpha_lr_scale": 0.01}),
     ("sig01_unfreeze5k", {**SIG01, "eps_unfreeze_step": 5000}),
@@ -56,6 +77,8 @@ EXPERIMENTS = [
     ("netdiag_perdim", {"eps_dim": True, "per_dim_loss": True}),
     ("perdim", {"per_dim_loss": True}),
 ]
+
+EXPERIMENTS = [(name, {**NEUTRAL, **ov}) for name, ov in RAW_EXPERIMENTS]
 
 
 def main():

@@ -98,6 +98,12 @@ EXPERIMENTS = {
         init_temperature=4.0, remat=True, compute_dtype="bfloat16",
         accept_penalty=20.0, grad_clip=1.0, learning_rate=3e-5,
         log_every=25),
+    # round 4 (VERDICT r3 missing #2): the honest HMC grid rises in T at
+    # the edge of the round-3 sweep (ESS_m 0.108 at T=32, eps 0.03); if
+    # tuned HMC's optimum lands at T>=48 the learned sampler answers on
+    # the same trajectory-length axis.
+    "P_T48": dict(n_steps=6000, hidden=64, leapfrogs=48,
+                  init_temperature=4.0, log_every=100),
 }
 
 
