@@ -60,21 +60,28 @@ _TARGET_OVERRIDES: dict[str, dict] = {
     "scg": {"whiten_loss": True, "eps_dim": True},
     # whitened x-only ESJD is load-bearing on the paper-conditioned target:
     # the raw joint loss is gamed into acceptance collapse (icg_round2/3
-    # sweeps; ScgConfig docstrings). Round 3 (icg_r3.json): the ESJD
-    # objective is a seed lottery, so the recipe carries the
-    # acceptance-targeted penalty (0.84x -> 5-6x per seed) and multi-seed
-    # train-and-select (validation chain, not test). Round 4 ships the
-    # oracle-informed sigma-scaled per-dim eps init with FROZEN eps
-    # (tools/icg_oracle.py certifies the diagonal eps_i = 0.1 sigma_i
-    # basin at ESS 0.32; trainable eps re-enters the shrink-to-accept
-    # basin and destroys the init — 25.9x -> 4.5x, icg_r3.json
-    # sig01 vs sig01_eps_frozen). Measured best-vs-best over outer seeds
-    # {42, 7, 13, 21}: 25.9x / 32.7x / 19.2x / 25.5x (was 17.4/10.2/13.8
-    # with the r3 pen20+k8 recipe).
+    # sweeps; ScgConfig docstrings). Round 3 added the acceptance-targeted
+    # penalty and multi-seed train-and-select (validation chain, not
+    # test). Round 4 resolves the frozen-vs-trainable eps question
+    # (icg_r3/icg_r4.json): seed the per-dim eps at the oracle point
+    # (eps_sigma_init, tools/icg_oracle.py) and DELAY alpha updates until
+    # step 5000 (eps_unfreeze_step) so the S/T/Q nets adapt around the
+    # certified preconditioner before eps trains — then training takes
+    # the sampler to full-spectrum ESS 1.0 (the estimator's ceiling:
+    # near-iid samples) vs tuned scalar HMC 0.0069, i.e. >=140x at every
+    # measured seed, past the paper's 106x (arXiv 1711.09268 §5.1).
+    # Ladder of evidence: frozen eps 19-33x over 4 seeds; trainable-eps
+    # immediate unfreeze 4.5x (shrink-to-accept); alpha_lr_scale=0.01
+    # 35x; unfreeze-at-5k 144x (ESS 1.0). A zero-net hmc_mode + eps_dim
+    # + per_dim_loss model ALSO reaches ESS 1.0 from a scalar init with
+    # no covariance knowledge (hmcdiag_perdim_lr3) — the ESJD optimum on
+    # a Gaussian is per-dim half-period leapfrog rotation, and the
+    # benchmark saturates once the diagonal basin is reachable.
     "icg": {"hidden": 100, "eps": 0.1, "hmc_eps": 0.15, "n_steps": 10000,
             "init_temperature": 5.0, "whiten_loss": True,
             "z_burn_in_loss": False, "accept_penalty": 20.0,
-            "eps_dim": True, "eps_sigma_init": 0.1, "eps_trainable": False,
+            "eps_dim": True, "eps_sigma_init": 0.1, "eps_trainable": True,
+            "eps_unfreeze_step": 5000,
             "n_train_seeds": 4, "val_steps": 800},
     # measured sweep (icg_rough_sweep.json): shorter trajectories at a
     # moderate step size beat the tiny-eps full-length recipe 2x+ — the
