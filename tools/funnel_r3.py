@@ -39,6 +39,13 @@ EXPERIMENTS = [
     # smaller step with the penalty: let the trained eps find the neck
     # (CPU pre-rank: strong negative — kept for the measured record)
     ("pen5_eps003", {"accept_penalty": 5.0, "eps": 0.03, "hmc_eps": 0.03}),
+    # round 4: per-dimension mixed ESJD (mcmc.loss_mixed_per_dim) — the
+    # funnel's slow direction is the single x0 dim (variance 9 vs the
+    # state-dependent z dims); the summed loss lets it hide. Unwhitened
+    # units on purpose (the funnel has no fixed covariance).
+    ("pen20_perdim", {"accept_penalty": 20.0, "per_dim_loss": True}),
+    ("pen20_perdim_k4", {"accept_penalty": 20.0, "per_dim_loss": True,
+                         "n_train_seeds": 4}),
 ]
 
 

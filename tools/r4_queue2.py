@@ -27,6 +27,9 @@ SUITE_TARGETS = ["scg", "icg", "rough_well", "ring", "mog2", "funnel"]
 
 # (label, argv, timeout_s)
 STAGES = [
+    ("funnel_perdim",
+     [sys.executable, "tools/funnel_r3.py", "--only",
+      "pen20_perdim", "pen20_perdim_k4"], 3600),
     ("icg_r4_arms2", [sys.executable, "tools/icg_r4.py"], 7200),
     ("icg_r4_winner_seeds2",
      [sys.executable, "tools/icg_r4_seeds.py", "--top", "2"], 10800),
