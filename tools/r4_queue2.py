@@ -1,13 +1,12 @@
-"""Round-4 TPU follow-on queue (run after tools/r4_queue.py completes and
-the funnel/icg recipe tables have been updated from its results).
+"""Round-4 TPU follow-on queue, part 2: EXPERIMENT arms (run after
+tools/r4_queue.py completes; the artifact-refresh stages live in
+tools/r4_queue3.py so recipe tables can be updated from these results
+in between).
 
-  1. Second icg_r4 pass (picks up arms added after the first pass).
-  2. Winner multi-seed follow-up over the full arm set (top 2).
-  3. Canonical suite artifact refresh at seeds 42 and 7 (VERDICT r3 #7).
-  4. bench.py under the new median-of-3-seeds headline (VERDICT r3 #4).
-  5. MFU measurement for the fused VAE kernels (VERDICT r3 #9).
-  6. f32 fused-train compile-crash diagnosis (VERDICT r3 missing #4).
-  7. phi4 64x64 dense T=48 answer to the HMC grid (VERDICT r3 #2).
+  1. Funnel per-dim-loss arms (round-4 objective on the weakest target).
+  2. SCG per-dim-loss arms (rotation-learning hypothesis).
+  3. Second icg_r4 pass (picks up arms added after the first pass).
+  4. Winner multi-seed follow-up over the full arm set (top 2).
 
 Usage (TPU, run alone): python tools/r4_queue2.py [--skip N] [--only ...]
 """
@@ -30,22 +29,10 @@ STAGES = [
     ("funnel_perdim",
      [sys.executable, "tools/funnel_r3.py", "--only",
       "pen20_perdim", "pen20_perdim_k4"], 3600),
+    ("scg_perdim", [sys.executable, "tools/scg_r4.py"], 5400),
     ("icg_r4_arms2", [sys.executable, "tools/icg_r4.py"], 7200),
     ("icg_r4_winner_seeds2",
      [sys.executable, "tools/icg_r4_seeds.py", "--top", "2"], 10800),
-    ("suite_refresh_seed42",
-     [sys.executable, "-m", "l2hmc_tpu.apps.suite", "--targets",
-      *SUITE_TARGETS, "--seed", "42", "--out", "suite_results.json"], 7200),
-    ("suite_refresh_seed7",
-     [sys.executable, "-m", "l2hmc_tpu.apps.suite", "--targets",
-      *SUITE_TARGETS, "--seed", "7", "--out", "suite_results_seed7.json"],
-     7200),
-    ("bench_r4", [sys.executable, "bench.py"], 3600),
-    ("mfu_fused_vae", [sys.executable, "tools/mfu_fused_vae.py"], 3600),
-    ("diag_fused_train_f32",
-     [sys.executable, "tools/diag_fused_train_f32.py"], 3600),
-    ("phi4_P_T48",
-     [sys.executable, "tools/phi4_64_r3.py", "--only", "P_T48"], 7200),
 ]
 
 
