@@ -104,6 +104,14 @@ EXPERIMENTS = {
     # the same trajectory-length axis.
     "P_T48": dict(n_steps=6000, hidden=64, leapfrogs=48,
                   init_temperature=4.0, log_every=100),
+    # the completed honest grid (phi4_64_hmc_grid.json) peaks at
+    # eps 0.04 / T=64 (ESS_m 0.259, still rising at the edge) — above the
+    # shipped T=24 learned recipe (0.151). Answer at matched T=64, and at
+    # HMC's preferred eps.
+    "Q_T64": dict(n_steps=6000, hidden=64, leapfrogs=64,
+                  init_temperature=4.0, log_every=100),
+    "R_T48_eps004": dict(n_steps=6000, hidden=64, leapfrogs=48, eps=0.04,
+                         hmc_eps=0.04, init_temperature=4.0, log_every=100),
 }
 
 
