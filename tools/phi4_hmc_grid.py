@@ -43,7 +43,10 @@ def main():
     # HMC's own saturation point; the per-leapfrog (equal-compute) ratio
     # is reported alongside in PARITY.md.
     eps_grid = [0.02, 0.03, 0.04, 0.05]
-    t_grid = [10, 16, 24, 32, 48, 64]
+    # T extended to 96 in round 4: the completed T<=64 grid still rises at
+    # the edge for eps 0.03/0.04 (0.250/0.259 at T=64) — the honest bar
+    # needs HMC's own saturation point.
+    t_grid = [10, 16, 24, 32, 48, 64, 96]
     if args.quick:
         L, n_chains, eval_steps = 8, 32, 50
         eps_grid, t_grid = [0.05], [4]

@@ -38,6 +38,8 @@ STAGES = [
     ("mfu_fused_vae", [sys.executable, "tools/mfu_fused_vae.py"], 3600),
     ("diag_fused_train_f32",
      [sys.executable, "tools/diag_fused_train_f32.py"], 3600),
+    ("phi4_grid_T96",
+     [sys.executable, "tools/phi4_hmc_grid.py"], 7200),
     ("phi4_long_T",
      [sys.executable, "tools/phi4_64_r3.py", "--only",
       "P_T48", "Q_T64", "R_T48_eps004"], 14400),
