@@ -112,6 +112,23 @@ EXPERIMENTS = {
                   init_temperature=4.0, log_every=100),
     "R_T48_eps004": dict(n_steps=6000, hidden=64, leapfrogs=48, eps=0.04,
                          hmc_eps=0.04, init_temperature=4.0, log_every=100),
+    # round-4 conv fallback: BOTH L=64 rescue arms (N/O) died to the
+    # remote-TPU-worker crash (long conv scans kill the worker even at
+    # chunk 25 — infra ceiling, recorded in phi4_64_r3.json). The
+    # conv-vs-dense question moves to L=32, where the stack survives and
+    # the dense bar is known (phi4_results.json: ESS_m 0.090, 1.57x tuned
+    # HMC, 1500 steps). Same stability knobs the CPU probe validated.
+    "S_conv_L32": dict(L=32, n_steps=1500, net_type="conv",
+                       conv_channels=32, leapfrogs=10, eps=0.1,
+                       hmc_eps=0.1, remat=True, compute_dtype="bfloat16",
+                       accept_penalty=20.0, grad_clip=1.0,
+                       learning_rate=1e-4, log_every=25),
+    "T_conv_L32_long": dict(L=32, n_steps=4000, net_type="conv",
+                            conv_channels=32, leapfrogs=10, eps=0.1,
+                            hmc_eps=0.1, remat=True,
+                            compute_dtype="bfloat16", accept_penalty=20.0,
+                            grad_clip=1.0, learning_rate=1e-4,
+                            log_every=25),
 }
 
 

@@ -43,6 +43,9 @@ STAGES = [
     ("phi4_long_T",
      [sys.executable, "tools/phi4_64_r3.py", "--only",
       "P_T48", "Q_T64", "R_T48_eps004"], 14400),
+    ("phi4_conv_L32",
+     [sys.executable, "tools/phi4_64_r3.py", "--only",
+      "S_conv_L32", "T_conv_L32_long"], 10800),
 ]
 
 
