@@ -46,9 +46,9 @@ STAGES = [
     ("phi4_conv_L32",
      [sys.executable, "tools/phi4_64_r3.py", "--only",
       "S_conv_L32", "T_conv_L32_long"], 10800),
-    ("vae_convergence_10ep",
-     [sys.executable, "tools/vae_train_convergence.py", "--epochs", "10",
-      "--out", "vae_train_convergence_10ep.json"], 7200),
+    ("vae_convergence_50ep",
+     [sys.executable, "tools/vae_train_convergence.py", "--epochs", "50",
+      "--out", "vae_train_convergence_50ep.json"], 7200),
 ]
 
 
