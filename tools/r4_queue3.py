@@ -28,11 +28,13 @@ SUITE_TARGETS = ["scg", "icg", "rough_well", "ring", "mog2", "funnel"]
 STAGES = [
     ("suite_refresh_seed42",
      [sys.executable, "-m", "l2hmc_tpu.apps.suite", "--targets",
-      *SUITE_TARGETS, "--seed", "42", "--out", "suite_results.json"],
+      *SUITE_TARGETS, "--n_chains", "2048",
+      "--seed", "42", "--out", "suite_results.json"],
      10800),
     ("suite_refresh_seed7",
      [sys.executable, "-m", "l2hmc_tpu.apps.suite", "--targets",
-      *SUITE_TARGETS, "--seed", "7", "--out", "suite_results_seed7.json"],
+      *SUITE_TARGETS, "--n_chains", "2048",
+      "--seed", "7", "--out", "suite_results_seed7.json"],
      10800),
     ("bench_r4", [sys.executable, "bench.py"], 3600),
     ("mfu_fused_vae", [sys.executable, "tools/mfu_fused_vae.py"], 3600),
