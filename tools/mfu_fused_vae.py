@@ -5,18 +5,27 @@ TFLOP/s — above the v5e bf16 peak — so the analytic per-chain FLOP model
 (tools/bench_vae_kernel.py::flops_per_chain_step) over-counts and is not a
 defensible MFU denominator. This tool replaces it with two measured ones:
 
-  1. XLA cost-model FLOPs: lower+compile the EQUIVALENT XLA
-     scan-of-propose program for the same chain count and MH steps and
-     read ``compiled.cost_analysis()['flops']`` — the compiler's own
-     count of the work this computation performs. MFU = cost_flops /
-     wall_time / peak. The same denominator serves f32 and bf16 (same
-     math, different operand dtype).
+  1. Exact matmul-FLOP count of the EQUIVALENT XLA scan-of-propose
+     program, obtained by walking its jaxpr and summing dot_general
+     FLOPs (2*M*N*K, scan bodies multiplied by their length). This
+     counts what the computation actually does — both integrator
+     directions, every net apply, every decoder energy gradient. (The
+     first attempt used ``compiled.cost_analysis()['flops']``, which
+     under-counts scan bodies ~1000x on this toolchain — it reports the
+     body cost once, not times the trip count; and the round-3 analytic
+     model over-counted to 235 TFLOP/s > bf16 peak. The jaxpr walk is
+     validated against a hand-counted scan-of-matmuls.)
+     MFU = matmul_flops / wall_time / peak; the same denominator serves
+     f32 and bf16 (same math, different operand dtype).
   2. xprof device duty cycle: profile the fused kernel run and read the
      device-busy fraction from the op_profile/overview tools, so the
      wall-clock number is attributable to on-device time rather than
      dispatch gaps.
 
 v5e peaks used: 197 TFLOP/s bf16, 98.5 TFLOP/s f32 (half rate).
+Tile ladder: scoped-VMEM limits drift with the remote toolchain (tile
+512 compiled in round 3, OOMs by 10% today), so each kernel tries
+tiles (512, 256, 128) and reports the first that compiles.
 
 Usage (TPU, run alone): python tools/mfu_fused_vae.py
 """
@@ -44,6 +53,49 @@ def _force(out):
     leaf = jax.tree_util.tree_leaves(out)[0]
     np.asarray(jax.device_get(leaf)).ravel()[:1]
     return out
+
+
+def _dot_flops(eqn) -> int:
+    import numpy as np
+
+    lhs, rhs = eqn.invars[0].aval, eqn.invars[1].aval
+    (lc, rc), (lb, rb) = eqn.params["dimension_numbers"]
+    batch = int(np.prod([lhs.shape[i] for i in lb])) if lb else 1
+    contract = int(np.prod([lhs.shape[i] for i in lc])) if lc else 1
+    m = int(np.prod(
+        [s for i, s in enumerate(lhs.shape) if i not in set(lc) | set(lb)]
+    ))
+    n = int(np.prod(
+        [s for i, s in enumerate(rhs.shape) if i not in set(rc) | set(rb)]
+    ))
+    return 2 * batch * m * n * contract
+
+
+def count_matmul_flops(jaxpr, mult: int = 1) -> int:
+    """Sum dot_general FLOPs over a jaxpr, scan bodies x their length."""
+    total = 0
+    for eqn in jaxpr.eqns:
+        name = eqn.primitive.name
+        if name == "dot_general":
+            total += mult * _dot_flops(eqn)
+        elif name == "scan":
+            total += count_matmul_flops(
+                eqn.params["jaxpr"].jaxpr, mult * eqn.params["length"]
+            )
+        else:
+            params = eqn.params or {}
+            for k in ("jaxpr", "call_jaxpr", "fun_jaxpr"):
+                sub = params.get(k)
+                if sub is not None:
+                    total += count_matmul_flops(
+                        getattr(sub, "jaxpr", sub), mult
+                    )
+            if "branches" in params:
+                total += max(
+                    count_matmul_flops(b.jaxpr, mult)
+                    for b in params["branches"]
+                )
+    return total
 
 
 def xprof_duty_cycle(logdir: str) -> dict:
@@ -121,19 +173,16 @@ def main():
         z, _ = jax.lax.scan(step, z, keys)
         return z
 
-    lowered = xla_chain.lower(z0, jax.random.key(2))
-    compiled = lowered.compile()
-    ca = compiled.cost_analysis()
-    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-    cost_flops = float(ca.get("flops", float("nan")))
+    jaxpr = jax.make_jaxpr(xla_chain)(z0, jax.random.key(2))
+    cost_flops = float(count_matmul_flops(jaxpr.jaxpr))
     result = {
         "n_chains": n,
         "mh_steps": K,
-        "xla_cost_flops_total": cost_flops,
-        "xla_cost_flops_per_chain_step": cost_flops / (n * K),
+        "matmul_flops_total": cost_flops,
+        "matmul_flops_per_chain_step": cost_flops / (n * K),
     }
-    print(f"XLA cost-model FLOPs: {cost_flops:.3e} total "
-          f"({cost_flops / (n * K):.0f} per chain per MH step)")
+    print(f"matmul FLOPs (jaxpr walk): {cost_flops:.3e} total "
+          f"({cost_flops / (n * K) / 1e6:.1f} MFLOP per chain per MH step)")
 
     # XLA wall time for the same program (reference point)
     _force(xla_chain(z0, jax.random.key(3)))
@@ -147,20 +196,33 @@ def main():
     # --- fused kernel: f32 and bf16, wall time + xprof duty --------------
     for name, cd, peak in (("f32", "", PEAK_F32),
                            ("bf16", "bfloat16", PEAK_BF16)):
-        sampler = FusedVaeSampler(
-            model.dynamics, tile=min(args.tile, n), compute_dtype=cd
-        )
-
-        def run(seed):
-            return sampler.run(
-                params["smp"], params["dec"], x_raw, emb, z0, seed=seed,
-                n_mh_steps=K,
+        dt = tile = None
+        last_err = None
+        for t in (min(args.tile, n), 256, 128):
+            sampler = FusedVaeSampler(
+                model.dynamics, tile=t, compute_dtype=cd
             )
 
-        _force(run(3))
-        t0 = time.perf_counter()
-        _force(run(4))
-        dt = time.perf_counter() - t0
+            def run(seed):
+                return sampler.run(
+                    params["smp"], params["dec"], x_raw, emb, z0,
+                    seed=seed, n_mh_steps=K,
+                )
+
+            try:
+                _force(run(3))
+            except Exception as e:  # scoped-VMEM OOM at this tile
+                last_err = f"tile {t}: {type(e).__name__}: {str(e)[:160]}"
+                print(last_err)
+                continue
+            t0 = time.perf_counter()
+            _force(run(4))
+            dt = time.perf_counter() - t0
+            tile = t
+            break
+        if dt is None:
+            result[f"fused_{name}"] = {"error": last_err}
+            continue
 
         logdir = f"/tmp/mfu_xprof_{name}"
         try:
@@ -171,6 +233,7 @@ def main():
             prof = {"error": f"{type(e).__name__}: {e}"}
 
         r = {
+            "tile": tile,
             "ms_per_step": round(dt / K * 1e3, 3),
             "tflops_costmodel": round(cost_flops / dt / 1e12, 2),
             "mfu_vs_peak": round(cost_flops / dt / peak, 4),
