@@ -112,6 +112,20 @@ EXPERIMENTS = {
                   init_temperature=4.0, log_every=100),
     "R_T48_eps004": dict(n_steps=6000, hidden=64, leapfrogs=48, eps=0.04,
                          hmc_eps=0.04, init_temperature=4.0, log_every=100),
+    # round-4 long-T rescue: the un-remat'd P/Q/R arms all crashed the
+    # remote compile helper (HTTP 500) at first compile — T=32 is the last
+    # un-remat'd dense config that compiles at dim 4096. The conv arms
+    # compiled fine at L=64 WITH remat (they died later, at runtime), so
+    # per-substep rematerialization is the candidate fix: it cuts the
+    # backward's live-activation set ~T-fold, which is also what the
+    # helper must lay out at compile time. bf16 variant as second lever.
+    "U_T48_remat": dict(n_steps=6000, hidden=64, leapfrogs=48,
+                        init_temperature=4.0, remat=True, log_every=100),
+    "V_T64_remat": dict(n_steps=6000, hidden=64, leapfrogs=64,
+                        init_temperature=4.0, remat=True, log_every=100),
+    "W_T48_remat_bf16": dict(n_steps=6000, hidden=64, leapfrogs=48,
+                             init_temperature=4.0, remat=True,
+                             compute_dtype="bfloat16", log_every=100),
     # round-4 conv fallback: BOTH L=64 rescue arms (N/O) died to the
     # remote-TPU-worker crash (long conv scans kill the worker even at
     # chunk 25 — infra ceiling, recorded in phi4_64_r3.json). The

@@ -26,6 +26,8 @@ def main():
     p.add_argument("--eval_steps", type=int, default=1000)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--quick", action="store_true")
+    p.add_argument("--eps", type=float, nargs="*", default=None)
+    p.add_argument("--T", type=int, nargs="*", default=None)
     p.add_argument("--out", type=str, default="phi4_64_hmc_grid.json")
     args = p.parse_args()
 
@@ -45,8 +47,15 @@ def main():
     eps_grid = [0.02, 0.03, 0.04, 0.05]
     # T extended to 96 in round 4: the completed T<=64 grid still rises at
     # the edge for eps 0.03/0.04 (0.250/0.259 at T=64) — the honest bar
-    # needs HMC's own saturation point.
-    t_grid = [10, 16, 24, 32, 48, 64, 96]
+    # needs HMC's own saturation point. T=96 still rises (0.40 flat across
+    # eps 0.02-0.04), so a second extension probes T {128, 192} on the top
+    # eps band only (--eps 0.02 0.04) to bound the optimum at ~half the
+    # full-grid cost.
+    t_grid = [10, 16, 24, 32, 48, 64, 96, 128, 192]
+    if args.eps:
+        eps_grid = args.eps
+    if args.T:
+        t_grid = args.T
     if args.quick:
         L, n_chains, eval_steps = 8, 32, 50
         eps_grid, t_grid = [0.05], [4]
