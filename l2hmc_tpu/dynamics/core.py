@@ -119,6 +119,21 @@ class Dynamics:
         pins acceptance near 1). Invertibility is per-substep, so a
         per-substep scalar changes nothing structurally. Mutually exclusive
         with eps_dim; XLA path only (no fused-kernel support).
+      eps_mat: DENSE trainable step-size matrix — params carry a (dim, dim)
+        matrix W (init eps * I) that replaces the scalar eps on the
+        TRANSLATION terms only: the v-update drift becomes
+        ``(-exp(fv)*grad + t) @ W`` and the x-update drift
+        ``(exp(fx)*v + t) @ W.T``; the exp-gate arguments keep the scalar
+        eps. The Jacobians w.r.t. x and v stay the diagonal exp-gates
+        (drift terms are constant in the updated variable), so the exact
+        log-det formula is UNCHANGED and each substep inverts in closed
+        form exactly as before. In HMC mode (zero nets) this reduces to
+        preconditioned leapfrog with x += v @ W.T, v -= grad @ W — i.e.
+        leapfrog in the coordinates y = W^{-1} x — so a learned W is a
+        dense step-size preconditioner (full-matrix generalization of
+        ``eps_dim``'s diagonal: it can whiten ROTATED anisotropy, which no
+        diagonal can). Rebuild-only extension; XLA path only (no
+        fused-kernel support); mutually exclusive with eps_dim/eps_step.
       use_temperature: divide energy by a runtime temperature
         (utils/dynamics.py:203-212); off in all reference drivers but kept —
         the paper anneals temperature.
@@ -145,6 +160,7 @@ class Dynamics:
     eps_trainable: bool = True
     eps_dim: bool = False
     eps_step: bool = False
+    eps_mat: bool = False
     use_temperature: bool = False
     mask_seed: int = 0
     input_scale: Optional[tuple] = None  # per-dim sigma (length dim)
@@ -152,8 +168,10 @@ class Dynamics:
     def __post_init__(self):
         if not self.hmc and (self.xnet is None or self.vnet is None):
             raise ValueError("non-HMC dynamics requires xnet and vnet modules")
-        if self.eps_dim and self.eps_step:
-            raise ValueError("eps_dim and eps_step are mutually exclusive")
+        if sum((self.eps_dim, self.eps_step, self.eps_mat)) > 1:
+            raise ValueError(
+                "eps_dim, eps_step and eps_mat are mutually exclusive"
+            )
         object.__setattr__(self, "masks", make_masks(self.mask_seed, self.T, self.dim))
         object.__setattr__(self, "times", time_encoding(self.T))
 
@@ -165,24 +183,49 @@ class Dynamics:
         ``eps`` may be a scalar or, with ``eps_dim``/``eps_step``, a
         (dim,)/(T,) vector — a per-dimension init is how a known scale
         structure (e.g. the target's sigma_i) seeds the learned diagonal
-        preconditioner instead of every dimension starting equal."""
-        alpha = jnp.log(jnp.asarray(eps, jnp.float32))
-        if self.eps_dim:
-            alpha = jnp.broadcast_to(alpha, (self.dim,)).astype(jnp.float32)
-        elif self.eps_step:
-            alpha = jnp.broadcast_to(alpha, (self.T,)).astype(jnp.float32)
-        elif alpha.ndim != 0:
-            raise ValueError(
-                "vector eps init requires eps_dim or eps_step"
-            )
+        preconditioner instead of every dimension starting equal. With
+        ``eps_mat``, ``eps`` may be a scalar (W init = eps * I) or a full
+        (dim, dim) matrix (e.g. eps0 * chol(Sigma), the dense analog of
+        the sigma-scaled diagonal init); the pytree gains a "w" leaf and
+        "alpha" keeps the scalar log step size for the exp gates."""
+        eps_arr = jnp.asarray(eps, jnp.float32)
+        w = None
+        if self.eps_mat:
+            if eps_arr.ndim == 0:
+                w = eps_arr * jnp.eye(self.dim, dtype=jnp.float32)
+                alpha = jnp.log(eps_arr)
+            elif eps_arr.shape == (self.dim, self.dim):
+                w = eps_arr
+                # gate scale: geometric mean of |diag W| keeps the exp-gate
+                # eps on the same scale as the drift preconditioner
+                alpha = jnp.mean(jnp.log(jnp.abs(jnp.diag(eps_arr))))
+            else:
+                raise ValueError(
+                    "eps_mat init requires a scalar or (dim, dim) eps"
+                )
+        else:
+            alpha = jnp.log(eps_arr)
+            if self.eps_dim:
+                alpha = jnp.broadcast_to(
+                    alpha, (self.dim,)).astype(jnp.float32)
+            elif self.eps_step:
+                alpha = jnp.broadcast_to(alpha, (self.T,)).astype(jnp.float32)
+            elif alpha.ndim != 0:
+                raise ValueError(
+                    "vector eps init requires eps_dim or eps_step"
+                )
         if self.hmc:
-            return {"alpha": alpha, "xnet": (), "vnet": ()}
-        kx, kv = jax.random.split(key)
-        return {
-            "alpha": alpha,
-            "xnet": self.xnet.init(kx),
-            "vnet": self.vnet.init(kv),
-        }
+            params = {"alpha": alpha, "xnet": (), "vnet": ()}
+        else:
+            kx, kv = jax.random.split(key)
+            params = {
+                "alpha": alpha,
+                "xnet": self.xnet.init(kx),
+                "vnet": self.vnet.init(kv),
+            }
+        if w is not None:
+            params["w"] = w
+        return params
 
     def eps(self, params: Params) -> Array:
         """eps = exp(alpha) (utils/dynamics.py:49-58).
@@ -197,6 +240,14 @@ class Dynamics:
         if not self.eps_trainable:
             alpha = jax.lax.stop_gradient(alpha)
         return jnp.exp(alpha)
+
+    def w(self, params: Params) -> Array:
+        """Dense drift preconditioner W (eps_mat mode), same trainability
+        gate as alpha."""
+        w = params["w"]
+        if not self.eps_trainable:
+            w = jax.lax.stop_gradient(w)
+        return w
 
     # -- energies ----------------------------------------------------------
 
@@ -236,6 +287,17 @@ class Dynamics:
 
     # -- single leapfrog substeps -----------------------------------------
 
+    def _drifts(self, params, eps):
+        """(drift_v, drift_x) closures: how a translation term enters the
+        update. Scalar/vector eps multiplies elementwise; eps_mat applies
+        the dense W to v-drifts and W.T to x-drifts (preconditioned
+        leapfrog's transpose pairing, so W = eps * chol(Sigma) whitens an
+        arbitrary Gaussian)."""
+        if self.eps_mat:
+            w = self.w(params)
+            return (lambda a: a @ w), (lambda a: a @ w.T)
+        return (lambda a: eps * a), (lambda a: eps * a)
+
     def forward_step(
         self, params, x, v, step_idx, *, aux=None, temperature=1.0
     ):
@@ -246,6 +308,7 @@ class Dynamics:
         eps = self.eps(params)
         if self.eps_step:
             eps = eps[step_idx]  # per-substep scalar schedule
+        drift_v, drift_x = self._drifts(params, eps)
         n = x.shape[0]
         t = jnp.broadcast_to(
             jnp.asarray(self.times, x.dtype)[step_idx], (n, 2)
@@ -258,26 +321,26 @@ class Dynamics:
         s, tt, q = self._apply_nets(params, "vnet", [x, grad1, t, aux])
         sv1 = 0.5 * eps * s
         fv1 = eps * q
-        v_h = v * jnp.exp(sv1) + 0.5 * eps * (-jnp.exp(fv1) * grad1 + tt)
+        v_h = v * jnp.exp(sv1) + 0.5 * drift_v(-jnp.exp(fv1) * grad1 + tt)
 
         # first half of x update (masked)
         s, tt, q = self._apply_nets(params, "xnet", [v_h, m * x, t, aux])
         sx1 = eps * s
         fx1 = eps * q
-        y = m * x + mb * (x * jnp.exp(sx1) + eps * (jnp.exp(fx1) * v_h + tt))
+        y = m * x + mb * (x * jnp.exp(sx1) + drift_x(jnp.exp(fx1) * v_h + tt))
 
         # second half of x update (complementary mask)
         s, tt, q = self._apply_nets(params, "xnet", [v_h, mb * y, t, aux])
         sx2 = eps * s
         fx2 = eps * q
-        x_o = mb * y + m * (y * jnp.exp(sx2) + eps * (jnp.exp(fx2) * v_h + tt))
+        x_o = mb * y + m * (y * jnp.exp(sx2) + drift_x(jnp.exp(fx2) * v_h + tt))
 
         # final half-step momentum update
         grad2 = self.grad_energy(x_o, aux, temperature)
         s, tt, q = self._apply_nets(params, "vnet", [x_o, grad2, t, aux])
         sv2 = 0.5 * eps * s
         fv2 = eps * q
-        v_o = v_h * jnp.exp(sv2) + 0.5 * eps * (-jnp.exp(fv2) * grad2 + tt)
+        v_o = v_h * jnp.exp(sv2) + 0.5 * drift_v(-jnp.exp(fv2) * grad2 + tt)
 
         logdet = jnp.sum(sv1 + sv2 + mb * sx1 + m * sx2, axis=1)
         return x_o, v_o, logdet
@@ -289,6 +352,7 @@ class Dynamics:
         eps = self.eps(params)
         if self.eps_step:
             eps = eps[step_idx]
+        drift_v, drift_x = self._drifts(params, eps)
         n = x_o.shape[0]
         t = jnp.broadcast_to(
             jnp.asarray(self.times, x_o.dtype)[step_idx], (n, 2)
@@ -300,25 +364,25 @@ class Dynamics:
         s, tt, q = self._apply_nets(params, "vnet", [x_o, grad1, t, aux])
         sv2 = -0.5 * eps * s
         fv2 = eps * q
-        v_h = (v_o - 0.5 * eps * (-jnp.exp(fv2) * grad1 + tt)) * jnp.exp(sv2)
+        v_h = (v_o - 0.5 * drift_v(-jnp.exp(fv2) * grad1 + tt)) * jnp.exp(sv2)
 
         s, tt, q = self._apply_nets(params, "xnet", [v_h, mb * x_o, t, aux])
         sx2 = -eps * s
         fx2 = eps * q
         y = mb * x_o + m * jnp.exp(sx2) * (
-            x_o - eps * (jnp.exp(fx2) * v_h + tt)
+            x_o - drift_x(jnp.exp(fx2) * v_h + tt)
         )
 
         s, tt, q = self._apply_nets(params, "xnet", [v_h, m * y, t, aux])
         sx1 = -eps * s
         fx1 = eps * q
-        x = m * y + mb * jnp.exp(sx1) * (y - eps * (jnp.exp(fx1) * v_h + tt))
+        x = m * y + mb * jnp.exp(sx1) * (y - drift_x(jnp.exp(fx1) * v_h + tt))
 
         grad2 = self.grad_energy(x, aux, temperature)
         s, tt, q = self._apply_nets(params, "vnet", [x, grad2, t, aux])
         sv1 = -0.5 * eps * s
         fv1 = eps * q
-        v = jnp.exp(sv1) * (v_h - 0.5 * eps * (-jnp.exp(fv1) * grad2 + tt))
+        v = jnp.exp(sv1) * (v_h - 0.5 * drift_v(-jnp.exp(fv1) * grad2 + tt))
 
         logdet = jnp.sum(sv1 + sv2 + mb * sx1 + m * sx2, axis=1)
         return x, v, logdet

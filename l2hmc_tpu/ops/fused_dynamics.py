@@ -783,6 +783,8 @@ def fused_for_target(dynamics: Dynamics, target, **kw) -> FusedDynamics:
     the same single-launch treatment as the trained sampler."""
     if getattr(dynamics, "eps_step", False):
         raise ValueError("fused kernels do not support eps_step (XLA-only)")
+    if getattr(dynamics, "eps_mat", False):
+        raise ValueError("fused kernels do not support eps_mat (XLA-only)")
     return FusedDynamics(dynamics, energy_spec_for_target(target), **kw)
 
 
@@ -1370,6 +1372,8 @@ def fused_chain_sampler(dynamics: Dynamics, target, **kw) -> FusedChainSampler:
     (_hmc_zero_net) — fused HMC baselines for the eval protocols."""
     if getattr(dynamics, "eps_step", False):
         raise ValueError("fused kernels do not support eps_step (XLA-only)")
+    if getattr(dynamics, "eps_mat", False):
+        raise ValueError("fused kernels do not support eps_mat (XLA-only)")
     kw.setdefault("loop_traj", dynamics.dim >= 2048)
     return FusedChainSampler(dynamics, energy_spec_for_target(target), **kw)
 

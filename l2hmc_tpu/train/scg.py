@@ -75,6 +75,18 @@ class ScgConfig:
     # per-leapfrog-step trainable step size (Dynamics.eps_step): a learned
     # (T,) schedule over the trajectory. Rebuild-only; XLA path only.
     eps_step: bool = False
+    # DENSE trainable step-size matrix (Dynamics.eps_mat): a learned
+    # full-matrix preconditioner on the drift terms (W on v-updates, W.T on
+    # x-updates; exp-gates keep the scalar eps, so the exact logdet is
+    # unchanged). The diagonal eps_dim saturates axis-aligned anisotropy
+    # (ICG -> ESS 1.0) but cannot whiten ROTATED covariance — SCG's 45-deg
+    # principal axes are exactly that case. Rebuild-only; XLA path only.
+    eps_mat: bool = False
+    # initialize the dense W at eps_chol_init * chol(Sigma) (requires
+    # eps_mat and a target with a known covariance) — the full-matrix
+    # analog of eps_sigma_init's oracle-informed diagonal. 0 disables
+    # (W starts at eps * I and training must find the rotation itself).
+    eps_chol_init: float = 0.0
     # initialize the per-dimension step size at eps_sigma_init * sigma_i
     # (requires eps_dim and a target with a known covariance). Using the
     # target scale at TRAINING time has the same precedent as whiten_loss
@@ -92,6 +104,18 @@ class ScgConfig:
     # larger integrator steps than the raw ESJD objective settles for.
     accept_penalty: float = 0.0
     accept_target: float = 0.65
+    # lag-1 autocorrelation penalty: loss += autocorr_penalty *
+    # mean_i(rho_i^2) with rho_i the batch estimate of the whitened lag-1
+    # autocorrelation corr(x_i, E[x_i 'next']) (MH-expected next state
+    # p*x' + (1-p)*x). The ESJD objective's global optimum on a Gaussian is
+    # the ANTI-correlated half-period rotation x' = -x (jump 4 sigma^2 >
+    # the iid 2 sigma^2) where no fresh momentum enters and real mixing
+    # stops (measured: the dense eps_mat preconditioner finds this trap on
+    # SCG — ESS collapses 33.7x -> 0.2x between 2k and 10k train steps
+    # while the loss keeps improving). rho_1 separates the two optima
+    # exactly: -1 at the trap, 0 at the quarter-period iid point, so this
+    # penalty makes the iid point the unique optimum. 0 disables.
+    autocorr_penalty: float = 0.0
     # --- frozen-vs-trainable eps resolution (round 4) -----------------------
     # The ICG oracle (tools/icg_oracle.py) certifies the diagonal
     # eps_i = 0.1 sigma_i basin at ESS 0.32, and eps_sigma_init + frozen eps
@@ -127,6 +151,13 @@ class ScgConfig:
     # distance term is dominated by the widest dimensions, so the objective
     # can reward blowing them up at the expense of global acceptance.
     whiten_loss: bool = False
+    # measure jump distance in FULLY whitened (Mahalanobis) coordinates:
+    # jumps are mapped through inv(chol(Sigma)) before the ESJD, so every
+    # EIGEN-direction earns equal credit. whiten_loss divides by the
+    # per-dimension marginal sigmas, which is a no-op when the target's
+    # anisotropy is rotated (SCG's marginals are equal); this is the
+    # rotation-aware version. Implies/overrides whiten_loss.
+    whiten_full: bool = False
     # whiten the S/T/Q NET INPUTS by the target's per-dimension sigma
     # (Dynamics.input_scale): x-like inputs /sigma, gradients *sigma. On
     # condition-1e4 targets the raw inputs span four decades and the shared
@@ -194,6 +225,7 @@ def build_dynamics(config: ScgConfig, target=None) -> tuple[Dynamics, Any]:
             eps_trainable=config.eps_trainable,
             eps_dim=config.eps_dim,
             eps_step=config.eps_step,
+            eps_mat=config.eps_mat,
             use_temperature=config.init_temperature > 1.0,
         )
         return dyn, target
@@ -241,6 +273,7 @@ def build_dynamics(config: ScgConfig, target=None) -> tuple[Dynamics, Any]:
         eps_trainable=config.eps_trainable,
         eps_dim=config.eps_dim,
         eps_step=config.eps_step,
+        eps_mat=config.eps_mat,
         use_temperature=config.init_temperature > 1.0,
         input_scale=input_scale,
     )
@@ -295,13 +328,19 @@ def make_train_step(
     ``config.whiten_loss`` (train() derives it from the target covariance).
     ``alpha0`` is the log-eps init for the ``alpha_reg`` trust region
     (train() derives it from eps_sigma_init / config.eps)."""
-    sig = None
+    sig = wmat = None
     if loss_sigmas is not None:
-        sig = jnp.asarray(loss_sigmas, jnp.float32)[None, :]
+        arr = jnp.asarray(loss_sigmas, jnp.float32)
+        if arr.ndim == 2:  # whiten_full: rows of inv(chol(Sigma))
+            wmat = arr
+        else:
+            sig = arr[None, :]
     if config.alpha_reg > 0 and alpha0 is None:
         alpha0 = jnp.log(jnp.asarray(config.eps, jnp.float32))
 
     def whiten(a):
+        if wmat is not None:
+            return a @ wmat.T
         return a / sig if sig is not None else a
 
     mixed = mcmc.loss_mixed_per_dim if config.per_dim_loss else mcmc.loss_mixed
@@ -341,6 +380,18 @@ def make_train_step(
             loss = loss + config.accept_penalty * jnp.square(
                 jnp.mean(out_x.p_accept) - config.accept_target
             )
+        if config.autocorr_penalty > 0:
+            xw = whiten(x)
+            p = out_x.p_accept[:, None]
+            xw_next = whiten(p * out_x.x_prop + (1.0 - p) * x)
+            xc = xw - jnp.mean(xw, axis=0)
+            nc = xw_next - jnp.mean(xw_next, axis=0)
+            rho = jnp.mean(xc * nc, axis=0) / (
+                jnp.std(xw, axis=0) * jnp.std(xw_next, axis=0) + 1e-6
+            )
+            loss = loss + config.autocorr_penalty * jnp.mean(
+                jnp.square(rho)
+            )
         if config.alpha_reg > 0:
             loss = loss + config.alpha_reg * jnp.mean(
                 jnp.square(params["alpha"] - alpha0)
@@ -357,13 +408,19 @@ def make_train_step(
             grads, state.opt_state, state.params
         )
         if config.alpha_lr_scale != 1.0 or config.eps_unfreeze_step > 0:
-            ua = updates["alpha"] * config.alpha_lr_scale
-            if config.eps_unfreeze_step > 0:
-                ua = jnp.where(
-                    state.step >= config.eps_unfreeze_step,
-                    ua, jnp.zeros_like(ua),
-                )
-            updates = {**updates, "alpha": ua}
+            # the dense W (eps_mat) is step-size state like alpha: the
+            # freeze/scale knobs govern both leaves identically
+            step_leaves = ["alpha"] + (["w"] if "w" in updates else [])
+            scaled = {}
+            for leaf in step_leaves:
+                ua = updates[leaf] * config.alpha_lr_scale
+                if config.eps_unfreeze_step > 0:
+                    ua = jnp.where(
+                        state.step >= config.eps_unfreeze_step,
+                        ua, jnp.zeros_like(ua),
+                    )
+                scaled[leaf] = ua
+            updates = {**updates, **scaled}
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params, opt_state, x_next, key, state.step + 1)
         metrics = {
@@ -404,6 +461,16 @@ def train(
         eps_init = config.eps_sigma_init * np.sqrt(
             np.diag(np.asarray(sigma))
         ).astype(np.float32)
+    if config.eps_chol_init > 0:
+        if not config.eps_mat:
+            raise ValueError("eps_chol_init requires eps_mat")
+        sigma = getattr(target, "sigma", None)
+        if sigma is None or np.asarray(sigma).ndim != 2:
+            raise ValueError(
+                "eps_chol_init requires a target with a known covariance"
+            )
+        eps_init = (config.eps_chol_init * np.linalg.cholesky(
+            np.asarray(sigma))).astype(np.float32)
     if state is None:
         state = init_state(config, dynamics, optimizer, eps_init=eps_init)
     step_dynamics = dynamics
@@ -421,13 +488,21 @@ def train(
             interpret=jax.default_backend() == "cpu",
         )
     loss_sigmas = None
-    if config.whiten_loss:
+    if config.whiten_loss or config.whiten_full:
         sigma = getattr(target, "sigma", None)
         if sigma is None or np.asarray(sigma).ndim != 2:
             raise ValueError(
                 "whiten_loss requires a target with a known covariance"
             )
-        loss_sigmas = np.sqrt(np.diag(np.asarray(sigma)))
+        if config.whiten_full:
+            # rows of inv(chol(Sigma)): whiten(a) = a @ W.T has identity
+            # covariance under the target, so the ESJD credits every
+            # eigen-direction equally (rotation-aware Mahalanobis units)
+            loss_sigmas = np.linalg.inv(
+                np.linalg.cholesky(np.asarray(sigma))
+            ).astype(np.float32)
+        else:
+            loss_sigmas = np.sqrt(np.diag(np.asarray(sigma)))
     alpha0 = None
     if config.alpha_reg > 0:
         e0 = config.eps if eps_init is None else eps_init

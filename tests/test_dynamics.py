@@ -326,3 +326,105 @@ def test_eps_step_schedule(key):
 def test_eps_step_eps_dim_exclusive():
     with pytest.raises(ValueError, match="mutually exclusive"):
         _make_dynamics(T=3, eps_step=True, eps_dim=True)
+
+
+def test_eps_mat_inverse_and_logdet(key):
+    """Dense drift preconditioner (Dynamics.eps_mat): a rotated W keeps the
+    exact closed-form inverse AND the analytic logdet (the drift terms are
+    constant in the updated variable, so the Jacobian stays the diagonal
+    exp-gates; rebuild-only extension, no reference analog)."""
+    dim, T = 3, 4
+    dyn = _make_dynamics(dim=dim, T=T, eps_mat=True)
+    params = dyn.init_params(key, eps=0.1)
+    # non-trivial rotation + anisotropy in W
+    rng = np.random.default_rng(0)
+    w = 0.1 * (np.eye(dim) + 0.5 * rng.standard_normal((dim, dim)))
+    params["w"] = jnp.asarray(w, jnp.float32)
+
+    kx, kv = jax.random.split(key)
+    x = jax.random.normal(kx, (9, dim))
+    v = jax.random.normal(kv, (9, dim))
+    X, V, ld_f = dyn.forward(params, x, v)
+    x2, v2, ld_b = dyn.backward(params, X, V)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ld_f + ld_b), 0.0, atol=1e-5)
+
+    # analytic logdet == autodiff log|det J| (the sharp oracle)
+    x0 = jax.random.normal(kx, (1, dim), jnp.float64)
+    v0 = jax.random.normal(kv, (1, dim), jnp.float64)
+
+    def flat_map(xv):
+        xx, vv = xv[:dim][None], xv[dim:][None]
+        X, V, _ = dyn.forward(params, xx, vv)
+        return jnp.concatenate([X[0], V[0]])
+
+    J = jax.jacfwd(flat_map)(jnp.concatenate([x0[0], v0[0]]))
+    sign, logdet_auto = jnp.linalg.slogdet(J)
+    _, _, logdet_analytic = dyn.forward(params, x0, v0)
+    assert float(sign) > 0
+    np.testing.assert_allclose(
+        float(logdet_analytic[0]), float(logdet_auto), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_eps_mat_identity_reduces_to_scalar(key):
+    """W = eps * I must reproduce the scalar-eps trajectory exactly."""
+    dyn_s = _make_dynamics(T=5)
+    dyn_m = _make_dynamics(T=5, eps_mat=True)
+    params = dyn_s.init_params(key, eps=0.1)
+    params_m = dict(params, w=0.1 * jnp.eye(2))
+    kx, kv = jax.random.split(key)
+    x = jax.random.normal(kx, (8, 2))
+    v = jax.random.normal(kv, (8, 2))
+    Xs, Vs, lds = dyn_s.forward(params, x, v)
+    Xm, Vm, ldm = dyn_m.forward(params_m, x, v)
+    np.testing.assert_allclose(np.asarray(Xm), np.asarray(Xs), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(Vm), np.asarray(Vs), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ldm), np.asarray(lds), rtol=1e-5, atol=1e-6)
+
+
+def test_eps_mat_hmc_is_preconditioned_leapfrog(key):
+    """HMC mode + eps_mat == textbook preconditioned leapfrog:
+    v -= 0.5 * grad @ W; x += v @ W.T; v -= 0.5 * grad @ W. logdet = 0."""
+    dim, T = 2, 6
+    target = targets.scg_gaussian()
+    dyn = Dynamics(dim=dim, energy=target.energy, T=T, hmc=True, eps_mat=True)
+    params = dyn.init_params(key, eps=0.1)
+    w = jnp.asarray([[0.12, 0.05], [-0.04, 0.09]], jnp.float32)
+    params["w"] = w
+    kx, kv = jax.random.split(key)
+    x = jax.random.normal(kx, (5, dim))
+    v = jax.random.normal(kv, (5, dim))
+
+    X, V, ld = dyn.forward(params, x, v)
+
+    def grad_e(y):
+        return jax.vmap(jax.grad(lambda z: target.energy(z[None])[0]))(y)
+
+    xr, vr = x, v
+    for _ in range(T):
+        vr = vr - 0.5 * grad_e(xr) @ w
+        xr = xr + vr @ w.T
+        vr = vr - 0.5 * grad_e(xr) @ w
+    np.testing.assert_allclose(np.asarray(X), np.asarray(xr), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(V), np.asarray(vr), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ld), 0.0, atol=1e-6)
+
+
+def test_eps_mat_chol_init_and_exclusivity(key):
+    """(dim, dim) eps init lands in params["w"]; eps_mat is exclusive with
+    eps_dim/eps_step; fused kernels refuse eps_mat (XLA-only)."""
+    target = targets.scg_gaussian()
+    chol = np.linalg.cholesky(np.asarray(target.sigma)).astype(np.float32)
+    dyn = Dynamics(dim=2, energy=target.energy, T=3, hmc=True, eps_mat=True)
+    params = dyn.init_params(key, eps=0.1 * chol)
+    np.testing.assert_allclose(np.asarray(params["w"]), 0.1 * chol, rtol=1e-6)
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        _make_dynamics(T=3, eps_mat=True, eps_dim=True)
+
+    from l2hmc_tpu.ops import fused_for_target
+
+    with pytest.raises(ValueError, match="eps_mat"):
+        fused_for_target(dyn, target)
