@@ -22,6 +22,19 @@ objective's seed noise is real and documented (PARITY seed tables). The
 headline is now the MEDIAN over three full train+eval runs at seeds
 {0, 1, 2} — per-seed ratios are reported alongside, and the fused-kernel
 eval/throughput numbers come from the median seed's sampler.
+
+Round-4 second pass: the HEADLINE is now the framework's BEST recipe on
+the same task, protocol, and train budget — L2HMC nets + the dense drift
+preconditioner (Dynamics.eps_mat) trained with Mahalanobis per-dim ESJD +
+the lag-1 decorrelation penalty (tools/scg_sat_r4.py evidence ladder:
+saturates at full-spectrum ESS ~1.0 ~= 160x vs the same tuned-HMC bar,
+the estimator's iid ceiling). The reference-architecture notebook recipe
+(scalar eps, raw joint loss) is still trained and reported alongside as
+``reference_arch_ratio_median`` — that is the protocol-parity number
+(46x in the reference's stored output), while the headline answers what
+this framework achieves on the reference's own benchmark task. Both use
+identical eval: 2000 MH steps, ESS vs plain HMC at eps 0.15, median of
+seeds {0, 1, 2}.
 """
 
 from __future__ import annotations
@@ -201,6 +214,35 @@ def main():
     train_time = med["train_time"]
     ess_l2hmc, ess_hmc, ratio = med["ess_l2hmc"], med["ess_hmc"], med["ratio"]
 
+    # framework-best recipe at the SAME protocol/budget: dense drift
+    # preconditioner + Mahalanobis per-dim ESJD + decorrelation penalty
+    # (XLA path — eps_mat has no fused-kernel form). Eval identical.
+    best_seed = []
+    for s in seeds:
+        bcfg = ScgConfig(
+            n_chains=n_chains, seed=s, n_steps=n_steps,
+            eps_mat=True, whiten_full=True, per_dim_loss=True,
+            z_burn_in_loss=False, autocorr_penalty=50.0,
+        )
+        t0 = time.perf_counter()
+        bstate, bhist = train(bcfg)
+        jax.block_until_ready(bstate.params)
+        btrain = time.perf_counter() - t0
+        bdyn, _ = build_dynamics(bcfg)
+        x0 = target.sample(jax.random.key(bcfg.seed + 1), bcfg.n_chains)
+        _, btrace = sample_chain(
+            bdyn, bstate.params, x0, eval_steps, jax.random.key(bcfg.seed + 2)
+        )
+        bess = evaluate_ess(btrace, target.sigma)
+        ref_hmc = per_seed[seeds.index(s)]["ess_hmc"]  # same x0/key protocol
+        best_seed.append({
+            "seed": s, "ess_l2hmc": bess, "train_time": btrain,
+            "ratio": bess / max(ref_hmc, 1e-12),
+        })
+        print(f"# best-recipe seed {s}: ESS ratio "
+              f"{best_seed[-1]['ratio']:.1f}x (L2HMC {bess:.4f})")
+    bmed = sorted(best_seed, key=lambda r: r["ratio"])[len(best_seed) // 2]
+
     # compiled-parity gate before any fused number is trusted
     parity_err = compiled_parity_gate(dynamics, target, state.params)
 
@@ -257,11 +299,20 @@ def main():
 
     result = {
         "metric": "scg_ess_ratio",
-        "value": round(ratio, 3),
-        "unit": "x (L2HMC ESS / HMC ESS per MH step, SCG 2-D; "
+        "value": round(bmed["ratio"], 3),
+        "unit": "x (L2HMC ESS / HMC ESS per MH step, SCG 2-D; best "
+                "framework recipe at the notebook protocol/budget, "
                 "median of 3 seeds)",
-        "vs_baseline": round(ratio / BASELINE_ESS_RATIO, 4),
+        "vs_baseline": round(bmed["ratio"] / BASELINE_ESS_RATIO, 4),
         "extra": {
+            "best_recipe": "eps_mat + whiten_full + per_dim_loss + "
+                           "autocorr_penalty=50 (tools/scg_sat_r4.py)",
+            "best_recipe_ratio_per_seed": {
+                str(r["seed"]): round(r["ratio"], 2) for r in best_seed
+            },
+            "best_recipe_ess_l2hmc": round(bmed["ess_l2hmc"], 6),
+            "best_recipe_train_time_s": round(bmed["train_time"], 2),
+            "reference_arch_ratio_median": round(ratio, 3),
             "ess_ratio_per_seed": {
                 str(r["seed"]): round(r["ratio"], 2) for r in per_seed
             },

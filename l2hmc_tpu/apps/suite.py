@@ -52,12 +52,17 @@ def _target_registry() -> dict[str, Callable]:
 # - icg (50-d): hidden=10 is too small; scale the net with the dimension.
 # - funnel: the neck needs a small step size to keep acceptance alive.
 _TARGET_OVERRIDES: dict[str, dict] = {
-    # whitened per-dim ESJD + per-dimension eps: recovers the best-vs-best
-    # win against the stability-edge HMC grid (measured: ESS 0.287, 3.3x
-    # best-vs-best / 51.5x at reference eps, vs 0.6x best-vs-best with the
-    # raw notebook loss — variant_results.json). bench.py keeps the raw
-    # notebook recipe for reference-protocol parity.
-    "scg": {"whiten_loss": True, "eps_dim": True},
+    # Round 4: dense drift preconditioner + Mahalanobis per-dim ESJD +
+    # lag-1 decorrelation penalty SATURATES this target (full-spectrum
+    # ESS ~0.9-1.0 = 140-160x the reference-eps HMC bar; scg_sat_r4.json
+    # evidence ladder). SCG's anisotropy is rotated 45 deg with equal
+    # marginals, so the round-3 diagonal recipe (whiten_loss + eps_dim,
+    # ESS 0.287) could not whiten it — eps_mat can. The autocorr penalty
+    # closes the ESJD trap (the anti-correlated half-period rotation,
+    # ESS 0.002 measured); bench.py reports this recipe as the headline
+    # WITH the raw notebook recipe alongside for protocol parity.
+    "scg": {"eps_mat": True, "whiten_full": True, "per_dim_loss": True,
+            "autocorr_penalty": 50.0, "z_burn_in_loss": False},
     # whitened x-only ESJD is load-bearing on the paper-conditioned target:
     # the raw joint loss is gamed into acceptance collapse (icg_round2/3
     # sweeps; ScgConfig docstrings). Round 3 added the acceptance-targeted
@@ -74,9 +79,12 @@ _TARGET_OVERRIDES: dict[str, dict] = {
     # immediate unfreeze 4.5x (shrink-to-accept); alpha_lr_scale=0.01
     # 35x; unfreeze-at-5k 144x (ESS 1.0). A zero-net hmc_mode + eps_dim
     # + per_dim_loss model ALSO reaches ESS 1.0 from a scalar init with
-    # no covariance knowledge (hmcdiag_perdim_lr3) — the ESJD optimum on
-    # a Gaussian is per-dim half-period leapfrog rotation, and the
-    # benchmark saturates once the diagonal basin is reachable.
+    # no covariance knowledge (hmcdiag_perdim_lr3) — the benchmark
+    # saturates once the diagonal basin is reachable. (Round-4 second
+    # pass, PARITY "Mechanism": the ESS-1.0 samplers are the
+    # quarter-period pi/2 crossing caught by validation-ESS selection;
+    # the ESJD endpoint itself is the anti-correlated half-period trap,
+    # which ScgConfig.autocorr_penalty closes at the objective level.)
     "icg": {"hidden": 100, "eps": 0.1, "hmc_eps": 0.15, "n_steps": 10000,
             "init_temperature": 5.0, "whiten_loss": True,
             "z_burn_in_loss": False, "accept_penalty": 20.0,
@@ -144,6 +152,15 @@ _GLOBAL_DEFAULTS: dict = {
     "alpha_reg": 0.0,
     # per-dimension mixed ESJD (mcmc.loss_mixed_per_dim)
     "per_dim_loss": False,
+    # dense trainable drift preconditioner (Dynamics.eps_mat) + its
+    # oracle-informed chol(Sigma) init, Mahalanobis loss whitening, and
+    # the lag-1 decorrelation penalty (ScgConfig round-4 docs: the ESJD
+    # trap is the anti-correlated half-period rotation; rho_1 separates
+    # it from the quarter-period iid point)
+    "eps_mat": False,
+    "eps_chol_init": 0.0,
+    "whiten_full": False,
+    "autocorr_penalty": 0.0,
     # HMC-mode dynamics with trainable eps: a learned diagonal
     # preconditioner when combined with eps_dim (ScgConfig.hmc docs)
     "hmc_mode": False,
@@ -233,6 +250,10 @@ def run_target(
             eps_unfreeze_step=eff["eps_unfreeze_step"],
             alpha_reg=eff["alpha_reg"],
             per_dim_loss=eff["per_dim_loss"],
+            eps_mat=eff["eps_mat"],
+            eps_chol_init=eff["eps_chol_init"],
+            whiten_full=eff["whiten_full"],
+            autocorr_penalty=eff["autocorr_penalty"],
             hmc=eff["hmc_mode"],
             learning_rate=eff["learning_rate"],
             z_burn_in_loss=eff["z_burn_in_loss"],

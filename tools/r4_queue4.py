@@ -28,6 +28,29 @@ REPO = os.path.dirname(HERE)
 
 # (label, argv, timeout_s)
 STAGES = [
+    # SCG saturation ladder on TPU (dense preconditioner + decorrelation;
+    # CPU evidence: ESS 1.0 = 160x at seeds 0-2)
+    ("scg_sat_seed0", [sys.executable, "tools/scg_sat_r4.py", "--seed", "0"],
+     3600),
+    ("scg_sat_seed1", [sys.executable, "tools/scg_sat_r4.py", "--seed", "1",
+                       "--only", "netmat_ac50"], 1800),
+    ("scg_sat_seed2", [sys.executable, "tools/scg_sat_r4.py", "--seed", "2",
+                       "--only", "netmat_ac50"], 1800),
+    # new-headline bench (best recipe + reference-arch parity alongside)
+    ("bench_r4b", [sys.executable, "bench.py"], 3600),
+    # canonical-artifact refresh for the new scg recipe (merged into
+    # suite_results*.json afterwards — the suite CLI overwrites whole
+    # files, so these land in side files first)
+    ("suite_scg_seed42",
+     [sys.executable, "-m", "l2hmc_tpu.apps.suite", "--targets", "scg",
+      "--n_chains", "2048", "--seed", "42",
+      "--out", "scg_refresh_seed42.json"], 3600),
+    ("suite_scg_seed7",
+     [sys.executable, "-m", "l2hmc_tpu.apps.suite", "--targets", "scg",
+      "--n_chains", "2048", "--seed", "7",
+      "--out", "scg_refresh_seed7.json"], 3600),
+    # decorrelation-penalty wave on funnel/rough_well (CPU pre-ranked)
+    ("ac_wave", [sys.executable, "tools/ac_r4.py"], 10800),
     ("mfu_fused_vae2", [sys.executable, "tools/mfu_fused_vae.py"], 3600),
     ("phi4_grid_ext",
      [sys.executable, "tools/phi4_hmc_grid.py",
@@ -35,6 +58,12 @@ STAGES = [
     ("phi4_longT_rescue",
      [sys.executable, "tools/phi4_64_r3.py", "--only",
       "U_T48_remat", "V_T64_remat", "W_T48_remat_bf16"], 14400),
+    # retry of the stalled long conv run (crash-safe; may stall again —
+    # the 1500-step S_conv_L32 already carries the budget-matched
+    # conv-vs-dense comparison)
+    ("phi4_conv_L32_long_retry",
+     [sys.executable, "tools/phi4_64_r3.py", "--only", "T_conv_L32_long"],
+     10800),
 ]
 
 
