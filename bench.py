@@ -26,7 +26,7 @@ eval/throughput numbers come from the median seed's sampler.
 Round-4 second pass: the HEADLINE is now the framework's BEST recipe on
 the same task, protocol, and train budget — L2HMC nets + the dense drift
 preconditioner (Dynamics.eps_mat) trained with Mahalanobis per-dim ESJD +
-the lag-1 decorrelation penalty (tools/scg_sat_r4.py evidence ladder:
+the lag-1 decorrelation penalty, weight 200 (tools/scg_sat_r4.py:
 saturates at full-spectrum ESS ~1.0 ~= 160x vs the same tuned-HMC bar,
 the estimator's iid ceiling). The reference-architecture notebook recipe
 (scalar eps, raw joint loss) is still trained and reported alongside as
@@ -222,7 +222,7 @@ def main():
         bcfg = ScgConfig(
             n_chains=n_chains, seed=s, n_steps=n_steps,
             eps_mat=True, whiten_full=True, per_dim_loss=True,
-            z_burn_in_loss=False, autocorr_penalty=50.0,
+            z_burn_in_loss=False, autocorr_penalty=200.0,
         )
         t0 = time.perf_counter()
         bstate, bhist = train(bcfg)
@@ -306,7 +306,7 @@ def main():
         "vs_baseline": round(bmed["ratio"] / BASELINE_ESS_RATIO, 4),
         "extra": {
             "best_recipe": "eps_mat + whiten_full + per_dim_loss + "
-                           "autocorr_penalty=50 (tools/scg_sat_r4.py)",
+                           "autocorr_penalty=200 (tools/scg_sat_r4.py)",
             "best_recipe_ratio_per_seed": {
                 str(r["seed"]): round(r["ratio"], 2) for r in best_seed
             },

@@ -61,8 +61,14 @@ _TARGET_OVERRIDES: dict[str, dict] = {
     # closes the ESJD trap (the anti-correlated half-period rotation,
     # ESS 0.002 measured); bench.py reports this recipe as the headline
     # WITH the raw notebook recipe alongside for protocol parity.
+    # Penalty weight 200, not 50: at 50 the trap still wins at some
+    # seeds/batch sizes (seed 2 @1024 chains 0.09x, seed 42 @2048 chains
+    # 0.01x — select_best cannot rescue a run whose every chunk is
+    # in-basin), while 200 is robust at every measured seed (90/144/170x
+    # bench protocol; 131.9x config-eps at the 2048-chain suite
+    # protocol) and lands acceptance in the paper's 0.55-0.67 band.
     "scg": {"eps_mat": True, "whiten_full": True, "per_dim_loss": True,
-            "autocorr_penalty": 50.0, "z_burn_in_loss": False},
+            "autocorr_penalty": 200.0, "z_burn_in_loss": False},
     # whitened x-only ESJD is load-bearing on the paper-conditioned target:
     # the raw joint loss is gamed into acceptance collapse (icg_round2/3
     # sweeps; ScgConfig docstrings). Round 3 added the acceptance-targeted

@@ -219,3 +219,83 @@ def test_hmc_mode_learned_diagonal_preconditioner():
     # ...in the direction of the target's scale structure
     log_sigma = np.log(np.sqrt(np.diag(np.asarray(tgt.sigma))))
     assert np.corrcoef(alpha, log_sigma)[0, 1] > 0.5
+
+
+def test_eps_mat_training_learns_rotation():
+    """Dense preconditioner (eps_mat) + Mahalanobis whitening + the
+    decorrelation penalty on SCG: W departs from the scalar init toward
+    a rotated (off-diagonal) matrix, training stays finite, and the
+    whitening matrix actually whitens (cov(whiten(x)) ~ I)."""
+    import jax
+    import numpy as np
+
+    from l2hmc_tpu import targets
+    from l2hmc_tpu.train import ScgConfig, train
+
+    cfg = ScgConfig(
+        n_chains=64, n_steps=200, seed=0, hmc=True, eps_mat=True,
+        whiten_full=True, per_dim_loss=True, autocorr_penalty=50.0,
+        z_burn_in_loss=False, learning_rate=1e-2,
+    )
+    state, hist = train(cfg)
+    assert np.isfinite(hist["loss"]).all()
+    w = np.asarray(state.params["w"])
+    assert w.shape == (2, 2)
+    # off-diagonals must be live: SCG's anisotropy is rotated 45 degrees,
+    # so a diagonal W cannot raise the Mahalanobis per-dim ESJD
+    assert np.abs(w - np.diag(np.diag(w))).max() > 0.01
+    # W stays invertible (training must not collapse the drift)
+    assert abs(np.linalg.det(w)) > 1e-4
+
+    # whiten_full correctness: inv(chol(Sigma)) whitens target samples
+    tgt = targets.scg_gaussian()
+    a = np.linalg.inv(np.linalg.cholesky(np.asarray(tgt.sigma)))
+    xs = np.asarray(tgt.sample(jax.random.key(0), 20000)) @ a.T
+    np.testing.assert_allclose(np.cov(xs.T), np.eye(2), atol=0.05)
+
+
+def test_half_period_trap_vs_quarter_period_iid():
+    """The round-4 mechanism oracle, constructed analytically: with a
+    dense preconditioner W = eps * chol(Sigma) the trajectory rotates
+    every eigen-mode by theta = T * eps. theta = pi (the ESJD optimum)
+    is the anti-correlated TRAP — proposal = -x, lag-1 rho = -1, and the
+    reference's thresholded ESS collapses via the +1 even lags. theta =
+    pi/2 is the iid point the decorrelation penalty targets — rho = 0
+    and ESS saturates. (PARITY 'Mechanism', scg_sat_r4.json ladder.)"""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from l2hmc_tpu import mcmc, targets
+    from l2hmc_tpu.dynamics import Dynamics
+    from l2hmc_tpu.train import evaluate_ess, sample_chain
+
+    tgt = targets.scg_gaussian()
+    T = 10
+    chol = np.linalg.cholesky(np.asarray(tgt.sigma)).astype(np.float32)
+    dyn = Dynamics(dim=2, energy=tgt.energy, T=T, hmc=True, eps_mat=True)
+    x = tgt.sample(jax.random.key(0), 2048)
+    a_inv = np.linalg.inv(chol)
+
+    def lag1_rho_and_ess(theta):
+        params = dyn.init_params(jax.random.key(1), eps=(theta / T) * chol)
+        out = mcmc.propose(jax.random.key(2), dyn, params, x,
+                           do_mh_step=True)
+        p = out.p_accept[:, None]
+        xn = p * out.x_prop + (1 - p) * x
+        xw = np.asarray(x) @ a_inv.T
+        nw = np.asarray(xn) @ a_inv.T
+        rho = ((xw - xw.mean(0)) * (nw - nw.mean(0))).mean(0) / (
+            xw.std(0) * nw.std(0) + 1e-6
+        )
+        _, trace = sample_chain(dyn, params, x[:256], 300,
+                                jax.random.key(3))
+        return float(np.mean(rho)), evaluate_ess(
+            trace, np.asarray(tgt.sigma))
+
+    rho_trap, ess_trap = lag1_rho_and_ess(np.pi)
+    rho_iid, ess_iid = lag1_rho_and_ess(np.pi / 2)
+    assert rho_trap < -0.9, rho_trap        # proposal = -x
+    assert abs(rho_iid) < 0.15, rho_iid     # proposal = fresh momentum
+    assert ess_trap < 0.05, ess_trap        # even-lag +1 collapses ESS
+    assert ess_iid > 0.5, ess_iid           # near-iid saturates it

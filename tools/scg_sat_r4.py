@@ -50,6 +50,12 @@ EXPERIMENTS = {
     # scalar init — notebook budget (5000 steps)
     "netmat_ac50": dict(eps_mat=True, autocorr_penalty=50.0,
                         learning_rate=1e-3),
+    # penalty-weight robustness: 50 still loses to the trap at some
+    # seeds/batches (seed 2: 0.09x; suite seed 42 @2048: 0.01x) — 200 is
+    # the shipped weight (robust at every measured seed, acceptance in
+    # the 0.55-0.67 band)
+    "netmat_ac200": dict(eps_mat=True, autocorr_penalty=200.0,
+                         learning_rate=1e-3),
     # zero-net learned dense preconditioner (50-param analog: 4 params)
     "hmcmat_ac200": dict(hmc=True, eps_mat=True, autocorr_penalty=200.0,
                          learning_rate=1e-2, n_steps=10000),
