@@ -22,7 +22,25 @@ defensible MFU denominator. This tool replaces it with two measured ones:
      wall-clock number is attributable to on-device time rather than
      dispatch gaps.
 
-v5e peaks used: 197 TFLOP/s bf16, 98.5 TFLOP/s f32 (half rate).
+v5e peaks used: 197 TFLOP/s bf16, 98.5 TFLOP/s f32 (half rate) — but note
+the framework pins jax_default_matmul_precision=highest, so f32 matmuls
+execute as THREE bf16 MXU passes and the realizable f32 ceiling is
+197/3 ~= 65.7 TFLOP/s.
+
+TWO denominators are reported, and the distinction is the round-4 story:
+  * xla-equivalent matmul FLOPs (the jaxpr walk): what the scan-of-propose
+    program does. The UNROLLED kernel CSEs the gradient evaluation shared
+    by adjacent leapfrog substeps (grad(x_out) of step t == grad(x_in) of
+    step t+1) — a reuse the XLA scan-body boundary forbids — so the kernel
+    executes ~36% fewer matmul FLOPs than this count. Dividing kernel wall
+    time by THIS number gives a work-replaced rate that can exceed the MXU
+    peak (measured: bf16 261 "TFLOP/s" = 133% of peak — the physics proof
+    that the kernel does less work, not a timing artifact: xprof device
+    time confirms the wall clock).
+  * kernel-algorithmic matmul FLOPs (kernel_flops_per_chain_step): the
+    kernel's own count — 2 directions x (T+1) gradient evals + 2 energy
+    decoder passes + 4T net applies. THIS is the MFU numerator.
+
 Tile ladder: scoped-VMEM limits drift with the remote toolchain (tile
 512 compiled in round 3, OOMs by 10% today), so each kernel tries
 tiles (512, 256, 128) and reports the first that compiles.
@@ -44,6 +62,26 @@ os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
 
 PEAK_BF16 = 197e12
 PEAK_F32 = 98.5e12
+# matmul_precision=highest runs f32 matmuls as 3 bf16 MXU passes
+PEAK_F32_3PASS = 197e12 / 3
+
+
+def kernel_algorithmic_flops(latent=50, dec_h=1024, out_d=784,
+                             net_h=200, emb_h=200, T=5) -> float:
+    """The fused VAE sampler kernel's own matmul FLOPs per chain per MH
+    step. The unrolled kernel shares the gradient evaluation between
+    adjacent substeps (leapfrog's T+1-vs-2T reuse; Mosaic CSE — the XLA
+    scan-body boundary forbids it), so this is ~36% below the
+    xla-equivalent jaxpr count. Validated: the same shape model applied
+    WITHOUT reuse reproduces the jaxpr walk (170.2 vs 167.0 MFLOP)."""
+    dec_fwd = 2 * (latent * dec_h + dec_h * dec_h + dec_h * out_d)
+    dec_bwd = 2 * (out_d * dec_h + dec_h * dec_h + dec_h * latent)
+    grad = dec_fwd + dec_bwd
+    net_in = latent + latent + 2 + emb_h
+    net_apply = 2 * (net_in * net_h + net_h * net_h + 3 * net_h * latent)
+    return (2 * (T + 1) * grad        # both directions, grads CSE'd
+            + 2 * dec_fwd             # h0/h1 energies (h0 partially CSEs)
+            + 2 * 4 * T * net_apply)  # 2 vnet + 2 xnet per substep x dirs
 
 
 def _force(out):
@@ -232,19 +270,27 @@ def main():
         except Exception as e:
             prof = {"error": f"{type(e).__name__}: {e}"}
 
+        kflops = kernel_algorithmic_flops(
+            latent=cfg.latent_dim, T=cfg.leapfrogs) * n * K
+        ceiling = PEAK_F32_3PASS if name == "f32" else PEAK_BF16
         r = {
             "tile": tile,
             "ms_per_step": round(dt / K * 1e3, 3),
-            "tflops_costmodel": round(cost_flops / dt / 1e12, 2),
-            "mfu_vs_peak": round(cost_flops / dt / peak, 4),
-            "peak_tflops": peak / 1e12,
+            # work-replaced rate vs the XLA-equivalent program (can
+            # exceed peak: the kernel CSEs adjacent-substep gradients)
+            "tflops_xla_equivalent": round(cost_flops / dt / 1e12, 2),
+            # the MFU claim: kernel's own matmul work / realizable peak
+            "tflops_algorithmic": round(kflops / dt / 1e12, 2),
+            "mfu_vs_realizable_peak": round(kflops / dt / ceiling, 4),
+            "realizable_peak_tflops": round(ceiling / 1e12, 1),
             "xprof": prof,
         }
         result[f"fused_{name}"] = r
         print(f"fused {name}: {r['ms_per_step']} ms/step, "
-              f"{r['tflops_costmodel']} TFLOP/s (cost-model), "
-              f"MFU {100 * r['mfu_vs_peak']:.1f}% of "
-              f"{peak / 1e12:.0f} TFLOP/s peak")
+              f"{r['tflops_algorithmic']} TFLOP/s algorithmic "
+              f"({r['tflops_xla_equivalent']} XLA-equivalent), "
+              f"MFU {100 * r['mfu_vs_realizable_peak']:.1f}% of "
+              f"{ceiling / 1e12:.0f} TFLOP/s realizable peak")
 
     with open(args.out, "w") as f:
         json.dump(result, f, indent=2)
