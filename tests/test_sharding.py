@@ -296,3 +296,35 @@ def test_sharded_pt_matches_unsharded(mesh, key):
     np.testing.assert_allclose(
         np.asarray(trace_p), np.asarray(trace_s), rtol=1e-6, atol=1e-6
     )
+
+
+def test_sharded_eps_mat_propose_matches_unsharded(mesh, key):
+    """The round-4 headline recipe's dynamics (dense eps_mat drift
+    preconditioner) under the chain mesh: the (n, d) @ (d, d) drift
+    matmuls shard over chains with W replicated — same contract as the
+    scalar-eps propose (bitwise keys, ulp-level numerics)."""
+    cfg = ScgConfig(n_chains=64, T=4, eps_mat=True)
+    dyn, target = build_dynamics(cfg)
+    params = dyn.init_params(key, eps=0.1)
+    chol = np.linalg.cholesky(np.asarray(target.sigma)).astype(np.float32)
+    params["w"] = jnp.asarray((np.pi / (2 * cfg.T)) * chol)
+    x = jax.random.normal(jax.random.key(1), (64, 2))
+
+    def step(params, x, k):
+        out = mcmc.propose(k, dyn, params, x, do_mh_step=True)
+        return out.x_next, out.p_accept
+
+    k = jax.random.key(2)
+    x_plain, p_plain = jax.jit(step)(params, x, k)
+    sharded = parallel.sharded_jit(
+        step, mesh, ("replicated", "chains", "replicated")
+    )
+    x_shard, p_shard = sharded(params, parallel.shard_chains(mesh, x), k)
+    # rtol 1e-5 (not the scalar test's 1e-6): the W drift matmul
+    # reassociates differently under the sharded compile
+    np.testing.assert_allclose(
+        np.asarray(x_plain), np.asarray(x_shard), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(p_plain), np.asarray(p_shard), rtol=1e-5, atol=1e-7
+    )
