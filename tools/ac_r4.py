@@ -27,6 +27,14 @@ ARMS = [
     ("funnel", "ac50", {"autocorr_penalty": 50.0}),
     ("rough_well", "ctrl", {}),
     ("rough_well", "ac50", {"autocorr_penalty": 50.0}),
+    # round-4 follow-up: the per-leapfrog-step eps schedule
+    # (Dynamics.eps_step) is the funnel CPU-probe winner (ctrl 2.72 ->
+    # 4.39 at 1500 steps/256 chains; temperature annealing is a sharp
+    # negative 0.07). The funnel's neck wants small early steps and
+    # bolder late ones — a (T,) schedule can express that, a scalar
+    # cannot. Full-protocol TPU re-measure before it ships.
+    ("funnel", "epstep", {"eps_step": True}),
+    ("funnel", "epstep_ac10", {"eps_step": True, "autocorr_penalty": 10.0}),
 ]
 
 

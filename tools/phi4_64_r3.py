@@ -126,6 +126,22 @@ EXPERIMENTS = {
     "W_T48_remat_bf16": dict(n_steps=6000, hidden=64, leapfrogs=48,
                              init_temperature=4.0, remat=True,
                              compute_dtype="bfloat16", log_every=100),
+    # remat FIXED the T>=48 compile-helper crash, but the un-stabilized
+    # arms collapse in training (acceptance 0.00 by ~step 4000 at T=48 —
+    # a long trajectory amplifies one over-bold step; same trap class as
+    # the conv arms). Stability wave: the ICG/conv medicine.
+    "X_T48_pen20": dict(n_steps=6000, hidden=64, leapfrogs=48,
+                        init_temperature=4.0, remat=True,
+                        accept_penalty=20.0, grad_clip=1.0,
+                        log_every=100),
+    "Y_T48_lr1e4": dict(n_steps=6000, hidden=64, leapfrogs=48,
+                        init_temperature=4.0, remat=True,
+                        accept_penalty=20.0, grad_clip=1.0,
+                        learning_rate=1e-4, log_every=100),
+    "Z_T64_pen20": dict(n_steps=6000, hidden=64, leapfrogs=64,
+                        init_temperature=4.0, remat=True,
+                        accept_penalty=20.0, grad_clip=1.0,
+                        learning_rate=1e-4, log_every=100),
     # round-4 conv fallback: BOTH L=64 rescue arms (N/O) died to the
     # remote-TPU-worker crash (long conv scans kill the worker even at
     # chunk 25 — infra ceiling, recorded in phi4_64_r3.json). The
