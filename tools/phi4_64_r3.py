@@ -142,6 +142,13 @@ EXPERIMENTS = {
                         init_temperature=4.0, remat=True,
                         accept_penalty=20.0, grad_clip=1.0,
                         learning_rate=1e-4, log_every=100),
+    # Y broke the learned plateau (0.151 @T32 -> 0.196 @T48, 1.09x
+    # matched-T HMC): the stabilized recipe SCALES with T. Chase HMC's
+    # own optimum trajectory length.
+    "AA_T96_pen20": dict(n_steps=6000, hidden=64, leapfrogs=96,
+                         init_temperature=4.0, remat=True,
+                         accept_penalty=20.0, grad_clip=1.0,
+                         learning_rate=1e-4, log_every=100),
     # round-4 conv fallback: BOTH L=64 rescue arms (N/O) died to the
     # remote-TPU-worker crash (long conv scans kill the worker even at
     # chunk 25 — infra ceiling, recorded in phi4_64_r3.json). The
