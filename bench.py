@@ -297,6 +297,18 @@ def main():
     ess_sec_chip_l2hmc = ess_l2hmc * mh_sps_fused * n_scale / N_CHIPS
     ess_sec_chip_hmc = ess_hmc * hmc_sps * n_scale / N_CHIPS
 
+    # regression tripwire (VERDICT r4 #9): vs_baseline is DEFINED against
+    # the reference-architecture protocol-parity number (~46x). If that
+    # median ever drops below 40x the pairing that makes vs_baseline
+    # meaningful is broken — fail loudly instead of shipping a mismatched
+    # headline.
+    assert ratio >= 40.0, (
+        f"reference-architecture ESS-ratio median {ratio:.1f}x fell below "
+        "the 40x tripwire (stored notebook baseline is 46x); the "
+        "best-recipe headline must stay paired with a healthy "
+        "protocol-parity number"
+    )
+
     result = {
         "metric": "scg_ess_ratio",
         "value": round(bmed["ratio"], 3),

@@ -149,6 +149,20 @@ class Dynamics:
         same arguments); it only reconditions the function class. The
         fused kernels fold the scaling into the embed weights at
         _extract_net time (exact, zero kernel cost).
+      net_input_fn: optional STATE-DEPENDENT net-input feature map,
+        ``(net, inputs) -> inputs`` where ``net`` is "vnet"/"xnet" and
+        ``inputs`` is the list the S/T/Q module would have seen. The
+        generalization of ``input_scale`` to nonlinear, state-conditioned
+        whitening — e.g. the funnel's neck-width feature
+        ``x[1:] * exp(-x[0]/2)`` (reference utils/distributions.py:182-190
+        is this map), which a constant preconditioner cannot express
+        (PARITY round-4 funnel diagnosis). Correctness is unaffected for
+        the same reason as ``input_scale``: the transform is a fixed
+        function of arguments the update already conditions on, so each
+        substep stays invertible with the same diagonal log-det — the
+        S/T/Q outputs simply become different (better-conditioned)
+        functions of the state. XLA path only (no fused-kernel folding —
+        the map is nonlinear). Applied AFTER ``input_scale``.
     """
 
     dim: int
@@ -164,6 +178,7 @@ class Dynamics:
     use_temperature: bool = False
     mask_seed: int = 0
     input_scale: Optional[tuple] = None  # per-dim sigma (length dim)
+    net_input_fn: Optional[Callable] = None  # (net, inputs) -> inputs
 
     def __post_init__(self):
         if not self.hmc and (self.xnet is None or self.vnet is None):
@@ -197,7 +212,17 @@ class Dynamics:
             elif eps_arr.shape == (self.dim, self.dim):
                 w = eps_arr
                 # gate scale: geometric mean of |diag W| keeps the exp-gate
-                # eps on the same scale as the drift preconditioner
+                # eps on the same scale as the drift preconditioner; a zero
+                # diagonal entry would make it -inf (dead gate), so reject
+                # concrete inits that aren't valid Cholesky-like factors
+                if not isinstance(eps_arr, jax.core.Tracer):
+                    d = np.abs(np.asarray(jax.device_get(jnp.diag(eps_arr))))
+                    if not np.all(d > 0):
+                        raise ValueError(
+                            "eps_mat init requires a nonzero diagonal (a "
+                            "Cholesky factor has a positive diagonal); got "
+                            f"zeros at indices {np.nonzero(d == 0)[0].tolist()}"
+                        )
                 alpha = jnp.mean(jnp.log(jnp.abs(jnp.diag(eps_arr))))
             else:
                 raise ValueError(
@@ -244,6 +269,12 @@ class Dynamics:
     def w(self, params: Params) -> Array:
         """Dense drift preconditioner W (eps_mat mode), same trainability
         gate as alpha."""
+        if "w" not in params:
+            raise ValueError(
+                'params missing "w": were they initialized with '
+                "eps_mat=True? (checkpoints saved with eps_mat=False "
+                "cannot drive an eps_mat Dynamics)"
+            )
         w = params["w"]
         if not self.eps_trainable:
             w = jax.lax.stop_gradient(w)
@@ -281,6 +312,8 @@ class Dynamics:
                 inputs = [inputs[0] / sig, inputs[1] * sig, *inputs[2:]]
             else:
                 inputs = [inputs[0], inputs[1] / sig, *inputs[2:]]
+        if self.net_input_fn is not None:
+            inputs = self.net_input_fn(net, inputs)
         mod = self.vnet if net == "vnet" else self.xnet
         s, t, q = mod.apply(params[net], inputs)
         return s, t, q

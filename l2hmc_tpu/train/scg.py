@@ -164,6 +164,12 @@ class ScgConfig:
     # embed layer is dominated by the widest dims. Rebuild-only extension;
     # needs a target with a known (or estimated) diagonal sigma.
     net_input_whiten: bool = False
+    # STATE-conditioned net-input features (Dynamics.net_input_fn): pull the
+    # target's own ``net_input_transform()`` feature map — e.g. the funnel's
+    # exp(-v/2) conditional whitening, the state-DEPENDENT scale the round-4
+    # diagnosis showed no constant preconditioner can express. Needs a
+    # target that defines ``net_input_transform``.
+    net_input_target_fn: bool = False
     remat: bool = False
     grad_clip: float = 0.0  # global-norm clip; 0 = off (reference SCG had none)
     # temperature annealing (arXiv 1711.09268 uses it; the reference wires
@@ -263,6 +269,14 @@ def build_dynamics(config: ScgConfig, target=None) -> tuple[Dynamics, Any]:
             raise ValueError(
                 "net_input_whiten needs a target with a covariance .sigma"
             )
+    net_input_fn = None
+    if config.net_input_target_fn:
+        if not hasattr(target, "net_input_transform"):
+            raise ValueError(
+                "net_input_target_fn needs a target that defines "
+                f"net_input_transform(); {type(target).__name__} does not"
+            )
+        net_input_fn = target.net_input_transform()
     dyn = Dynamics(
         dim=config.dim,
         energy=target.energy,
@@ -276,6 +290,7 @@ def build_dynamics(config: ScgConfig, target=None) -> tuple[Dynamics, Any]:
         eps_mat=config.eps_mat,
         use_temperature=config.init_temperature > 1.0,
         input_scale=input_scale,
+        net_input_fn=net_input_fn,
     )
     return dyn, target
 
@@ -506,7 +521,20 @@ def train(
     alpha0 = None
     if config.alpha_reg > 0:
         e0 = config.eps if eps_init is None else eps_init
-        alpha0 = jnp.log(jnp.asarray(e0, jnp.float32))
+        e0 = jnp.asarray(e0, jnp.float32)
+        if config.eps_mat and e0.ndim == 2:
+            # match Dynamics.init_params' gate scalar for a (dim, dim)
+            # init: mean log|diag W|. A raw log of the matrix would be
+            # NaN/-inf off the diagonal and broadcast (dim, dim) against
+            # the scalar params['alpha'] in the trust-region term.
+            alpha0 = jnp.mean(jnp.log(jnp.abs(jnp.diag(e0))))
+        elif config.eps_mat and e0.ndim != 0:
+            raise ValueError(
+                "alpha_reg with eps_mat requires a scalar or (dim, dim) "
+                f"eps init, got shape {e0.shape}"
+            )
+        else:
+            alpha0 = jnp.log(e0)
     step_fn = make_train_step(
         config, step_dynamics, optimizer, loss_sigmas, alpha0=alpha0
     )
