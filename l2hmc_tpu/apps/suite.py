@@ -143,6 +143,9 @@ _GLOBAL_DEFAULTS: dict = {
     "z_burn_in_loss": True,
     "whiten_loss": False,
     "net_input_whiten": False,
+    # state-conditioned net-input features from the target's own
+    # net_input_transform() (ScgConfig.net_input_target_fn; funnel arm)
+    "net_input_target_fn": False,
     "scale": 0.1,  # the notebook's mixed-loss scale (cell 9)
     "eps_step": False,
     # sigma-scaled per-dim eps init (ScgConfig.eps_sigma_init); needs
@@ -265,6 +268,7 @@ def run_target(
             z_burn_in_loss=eff["z_burn_in_loss"],
             whiten_loss=eff["whiten_loss"],
             net_input_whiten=eff["net_input_whiten"],
+            net_input_target_fn=eff["net_input_target_fn"],
             scale=eff["scale"],
         )
 

@@ -18,10 +18,18 @@ from l2hmc_tpu.targets.gaussian import (
 from l2hmc_tpu.targets.gmm import GMM, gen_ring, mog2
 from l2hmc_tpu.targets.lattice import Phi4Lattice
 from l2hmc_tpu.targets.rough_well import RoughWell
+from l2hmc_tpu.targets.transformed import (
+    Bijector,
+    FunnelWhiten,
+    TransformedTarget,
+)
 
 __all__ = [
     "Target",
     "batched_grad",
+    "Bijector",
+    "FunnelWhiten",
+    "TransformedTarget",
     "Gaussian",
     "GaussianFunnel",
     "GMM",

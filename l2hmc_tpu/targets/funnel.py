@@ -59,3 +59,40 @@ class GaussianFunnel(Target):
         raw clipped energy negated; utils/distributions.py:192-198 is itself
         unnormalized and buggy — we return -energy for consistency)."""
         return -self.energy(x)
+
+    def net_input_transform(self):
+        """State-conditioned S/T/Q net-input whitening (Dynamics.net_input_fn).
+
+        The funnel's conditional scale is exp(v/2) — a function of the
+        state, which no constant ``input_scale`` can express (PARITY
+        round-4 funnel diagnosis). This feature map shows the nets the
+        whitened coordinates the reference's own sampler uses
+        (utils/distributions.py:182-190): x-like inputs become
+        [v, x[1:]*exp(-v/2)] and energy-gradient inputs [g0, g[1:]*exp(v/2)]
+        (for the funnel, grad_i = x_i e^{-v} for i>=1, so the scaled
+        gradient is the whitened coordinate itself — O(1) everywhere in
+        the neck). Momentum inputs are already O(1) and pass through. For
+        the xnet's MASKED x input, a masked-out v reads 0 -> scale 1, so
+        those substeps gracefully degrade to unwhitened features.
+        Correctness: a fixed function of the same arguments, so substep
+        invertibility and the diagonal log-det are untouched (see
+        Dynamics.net_input_fn docs).
+        """
+        clip = self.clip
+
+        def fn(net: str, inputs: list) -> list:
+            def whiten_x(x: Array) -> Array:
+                s = jnp.exp(jnp.clip(x[:, :1], -clip, clip) / 2.0)
+                return jnp.concatenate([x[:, :1], x[:, 1:] / s], axis=1)
+
+            if net == "vnet":  # inputs: [x, grad_energy, time, aux]
+                x, grad = inputs[0], inputs[1]
+                s = jnp.exp(jnp.clip(x[:, :1], -clip, clip) / 2.0)
+                gw = jnp.concatenate(
+                    [grad[:, :1], grad[:, 1:] * s], axis=1
+                )
+                return [whiten_x(x), gw, *inputs[2:]]
+            # xnet inputs: [momentum, masked_x, time, aux]
+            return [inputs[0], whiten_x(inputs[1]), *inputs[2:]]
+
+        return fn

@@ -1,0 +1,112 @@
+"""Bijector-reparameterized targets (NeuTra-style preconditioning).
+
+Rebuild-only extension: sample a pushforward coordinate system instead of
+the raw target. Given a diffeomorphism ``x = f(y)`` the pulled-back density
+is ``p_Y(y) = p_X(f(y)) |det df/dy|``, so a sampler that mixes well on the
+(better-conditioned) Y-space target yields exact X-space samples through
+``x = f(y)`` — the Neural-Transport MCMC recipe (Hoffman et al. 2019,
+arXiv 1903.03704) with an analytic bijector.
+
+The motivating case is the Gaussian funnel: the reference's own exact
+sampler (reference: utils/distributions.py:182-190) IS the whitening map
+``x[1:] = y[1:] * exp(v / 2)`` under which the funnel becomes a unit
+Gaussian product — the state-DEPENDENT scale that PARITY.md's round-4
+diagnosis identified as inexpressible by any constant preconditioner is
+exactly the Jacobian of this map. :class:`FunnelWhiten` packages it as an
+invertible reparameterization with closed-form log-det.
+
+All three surfaces (energy / log_density / sample) stay pure, batched jnp
+functions, so a TransformedTarget jits, vmaps and shards like any other
+target. ESS comparisons against raw-space baselines must be computed on
+``bijector.forward(chain)`` (X-space), never on the Y-space chain — the
+Y-space target is a different (easier) distribution.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from l2hmc_tpu.targets.base import Target
+
+Array = jax.Array
+
+
+class Bijector:
+    """Invertible map ``x = forward(y)`` with per-row ``log|det df/dy|``.
+
+    Minimal analytic-bijector interface (flows are out of scope; the point
+    is exact reparameterization, not learned transport).
+    """
+
+    def forward(self, y: Array) -> Array:  # (n, d) -> (n, d)
+        raise NotImplementedError
+
+    def inverse(self, x: Array) -> Array:  # (n, d) -> (n, d)
+        raise NotImplementedError
+
+    def forward_log_det(self, y: Array) -> Array:  # (n, d) -> (n,)
+        raise NotImplementedError
+
+
+@dataclasses.dataclass(frozen=True)
+class FunnelWhiten(Bijector):
+    """The funnel's exact whitening map (reference utils/distributions.py:
+    182-190, the reference's own sampler construction):
+
+        x[:, 0]  = y[:, 0]                       (v, the log-scale coord)
+        x[:, 1:] = y[:, 1:] * exp(v / 2)
+
+    ``log|det df/dy| = (d - 1) * v / 2``. ``clip`` bounds the exp argument
+    exactly like the target's clipped energy (targets/funnel.py), keeping
+    the map finite under float32 when a chain strays past +-4 sigma.
+    """
+
+    dim: int
+    clip: float = 8.0
+
+    def _scale(self, v: Array) -> Array:
+        return jnp.exp(jnp.clip(v, -self.clip, self.clip) / 2.0)
+
+    def forward(self, y: Array) -> Array:
+        v = y[:, :1]
+        return jnp.concatenate([v, y[:, 1:] * self._scale(v)], axis=1)
+
+    def inverse(self, x: Array) -> Array:
+        v = x[:, :1]
+        return jnp.concatenate([v, x[:, 1:] / self._scale(v)], axis=1)
+
+    def forward_log_det(self, y: Array) -> Array:
+        v = jnp.clip(y[:, 0], -self.clip, self.clip)
+        return (self.dim - 1) * v / 2.0
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformedTarget(Target):
+    """Pullback of ``base`` through ``bijector``: the Y-space target.
+
+    energy_Y(y) = energy_X(f(y)) - log|det df/dy| (the pushforward density
+    identity; unnormalized exactly when the base is). The exact sampler
+    draws base samples and pulls them back, so downstream covariance
+    estimation and validation-chain scoring work unchanged.
+    """
+
+    base: Target
+    bijector: Bijector
+
+    def __post_init__(self):
+        object.__setattr__(self, "dim", self.base.dim)
+
+    def energy(self, y: Array, *args, **kwargs) -> Array:
+        x = self.bijector.forward(y)
+        return self.base.energy(x, *args, **kwargs) - (
+            self.bijector.forward_log_det(y)
+        )
+
+    def log_density(self, y: Array) -> Array:
+        return -self.energy(y)
+
+    def sample(self, key: Array, n: int, dtype=jnp.float32) -> Array:
+        return self.bijector.inverse(self.base.sample(key, n, dtype))
