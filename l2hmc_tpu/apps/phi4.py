@@ -69,6 +69,7 @@ def run(
     remat: bool = False,
     compute_dtype: str = "float32",
     accept_penalty: float = 0.0,
+    accept_target: float = 0.65,
     grad_clip: float = 0.0,
     z_burn_in_loss: bool = True,
     scale: float = 0.1,
@@ -108,6 +109,7 @@ def run(
         # distance term can be gamed into acceptance collapse (measured:
         # loss -> -1.7e4, acceptance -> 0.04 within 30 steps at L=64)
         accept_penalty=accept_penalty,
+        accept_target=accept_target,
         grad_clip=grad_clip,
         z_burn_in_loss=z_burn_in_loss,
         scale=scale,

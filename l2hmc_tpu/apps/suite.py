@@ -173,6 +173,11 @@ _GLOBAL_DEFAULTS: dict = {
     # HMC-mode dynamics with trainable eps: a learned diagonal
     # preconditioner when combined with eps_dim (ScgConfig.hmc docs)
     "hmc_mode": False,
+    # parallel-tempered TRAINING (ScgConfig.pt_train_* round-5 docs):
+    # replica-exchange training chains so mode-hop gradients appear
+    # throughout training (mog2 absolute-mixing attack)
+    "pt_train_rungs": 0,
+    "pt_train_tmax": 10.0,
     "learning_rate": 1e-3,  # notebook cell 10
     # multi-seed train-and-select (VERDICT r2 item 7): train k runs at
     # distinct seeds, score each on a short validation chain (measured
@@ -264,6 +269,8 @@ def run_target(
             whiten_full=eff["whiten_full"],
             autocorr_penalty=eff["autocorr_penalty"],
             hmc=eff["hmc_mode"],
+            pt_train_rungs=eff["pt_train_rungs"],
+            pt_train_tmax=eff["pt_train_tmax"],
             learning_rate=eff["learning_rate"],
             z_burn_in_loss=eff["z_burn_in_loss"],
             whiten_loss=eff["whiten_loss"],

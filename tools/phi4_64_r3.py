@@ -149,6 +149,28 @@ EXPERIMENTS = {
                          init_temperature=4.0, remat=True,
                          accept_penalty=20.0, grad_clip=1.0,
                          learning_rate=1e-4, log_every=100),
+    # Round 5: AA landed 0.359 vs matched-T HMC 0.396 (0.91x; 0.88x of
+    # the grid's global optimum 0.408) with acceptance SATURATED at
+    # 0.9998 — the pen20 pull toward 0.65 never moved it, i.e. the
+    # sampler stayed step-timid and the remaining gap is headroom, not a
+    # wall. Three levers to un-pin acceptance at T=96:
+    "AB_T96_pen60": dict(n_steps=6000, hidden=64, leapfrogs=96,
+                         init_temperature=4.0, remat=True,
+                         accept_penalty=60.0, grad_clip=1.0,
+                         learning_rate=1e-4, log_every=100),
+    "AC_T96_eps005": dict(n_steps=6000, hidden=64, leapfrogs=96,
+                          init_temperature=4.0, remat=True, eps=0.05,
+                          accept_penalty=20.0, grad_clip=1.0,
+                          learning_rate=1e-4, log_every=100),
+    "AD_T96_lr3e4": dict(n_steps=6000, hidden=64, leapfrogs=96,
+                         init_temperature=4.0, remat=True,
+                         accept_penalty=20.0, grad_clip=1.0,
+                         learning_rate=3e-4, log_every=100),
+    # does the learned ladder keep scaling past HMC's optimum T?
+    "AE_T128_pen20": dict(n_steps=6000, hidden=64, leapfrogs=128,
+                          init_temperature=4.0, remat=True,
+                          accept_penalty=20.0, grad_clip=1.0,
+                          learning_rate=1e-4, log_every=100),
     # round-4 conv fallback: BOTH L=64 rescue arms (N/O) died to the
     # remote-TPU-worker crash (long conv scans kill the worker even at
     # chunk 25 — infra ceiling, recorded in phi4_64_r3.json). The
