@@ -178,6 +178,7 @@ _GLOBAL_DEFAULTS: dict = {
     # throughout training (mog2 absolute-mixing attack)
     "pt_train_rungs": 0,
     "pt_train_tmax": 10.0,
+    "pt_loss_all_rungs": False,
     "learning_rate": 1e-3,  # notebook cell 10
     # multi-seed train-and-select (VERDICT r2 item 7): train k runs at
     # distinct seeds, score each on a short validation chain (measured
@@ -271,6 +272,7 @@ def run_target(
             hmc=eff["hmc_mode"],
             pt_train_rungs=eff["pt_train_rungs"],
             pt_train_tmax=eff["pt_train_tmax"],
+            pt_loss_all_rungs=eff["pt_loss_all_rungs"],
             learning_rate=eff["learning_rate"],
             z_burn_in_loss=eff["z_burn_in_loss"],
             whiten_loss=eff["whiten_loss"],

@@ -195,6 +195,16 @@ class ScgConfig:
     pt_train_rungs: int = 0
     pt_train_tmax: float = 10.0
     pt_swap_every: int = 1
+    # score the ESJD loss on EVERY rung (each at its own temperature, mean
+    # over rungs) instead of the T=1 rung only. Mechanism distinction
+    # (measured, mog2 medium probe): cold-rung-only PT training injects
+    # cross-mode STATES but the cold proposals still face the full barrier
+    # and never learn hops (ratio ~1); annealing works because the
+    # PROPOSALS train on a flattened target. All-rungs loss is persistent
+    # annealing: hot rungs keep teaching long jumps for the whole run
+    # while the cold rung grounds the kernel at T=1. Costs a K-fold
+    # backward.
+    pt_loss_all_rungs: bool = False
     # drop non-finite gradient updates instead of poisoning Adam state
     # (no-op on healthy runs; saves hard targets like the funnel where a
     # single diverged trajectory otherwise NaNs alpha permanently)
@@ -453,21 +463,34 @@ def make_train_step(
         n = config.n_chains
         xr = x.reshape(K, n, x.shape[-1])
         k0, k_hot, k_swap = jax.random.split(key, 3)
-        loss, out0 = _single_loss(params, xr[0], k0, temperature)
-        sg_params = jax.lax.stop_gradient(params)
+        if config.pt_loss_all_rungs:
+            def rung_loss(kk, xx, tt):
+                loss_r, out_r = _single_loss(params, xx, kk, tt)
+                return loss_r, (out_r.x_next, out_r.p_accept)
 
-        def hot_prop(kk, xx, tt):
-            return mcmc.propose(
-                kk, dynamics, sg_params, xx, do_mh_step=True,
-                remat=config.remat, temperature=tt,
-            ).x_next
+            losses, (nexts, ps) = jax.vmap(rung_loss)(
+                jax.random.split(k0, K), xr, pt_temps
+            )
+            loss = jnp.mean(losses)
+            x_all = jax.lax.stop_gradient(nexts)
+            p0 = ps[0]
+        else:
+            loss, out0 = _single_loss(params, xr[0], k0, temperature)
+            p0 = out0.p_accept
+            sg_params = jax.lax.stop_gradient(params)
 
-        hot_next = jax.vmap(hot_prop)(
-            jax.random.split(k_hot, K - 1), xr[1:], pt_temps[1:]
-        )
-        x_all = jnp.concatenate(
-            [jax.lax.stop_gradient(out0.x_next)[None], hot_next], axis=0
-        )
+            def hot_prop(kk, xx, tt):
+                return mcmc.propose(
+                    kk, dynamics, sg_params, xx, do_mh_step=True,
+                    remat=config.remat, temperature=tt,
+                ).x_next
+
+            hot_next = jax.vmap(hot_prop)(
+                jax.random.split(k_hot, K - 1), xr[1:], pt_temps[1:]
+            )
+            x_all = jnp.concatenate(
+                [jax.lax.stop_gradient(out0.x_next)[None], hot_next], axis=0
+            )
         U = dynamics.energy(
             x_all.reshape(-1, x.shape[-1])
         ).reshape(K, n)
@@ -478,7 +501,7 @@ def make_train_step(
             lambda xx: xx,
             x_all,
         )
-        return loss, (x_all.reshape(K * n, x.shape[-1]), out0.p_accept)
+        return loss, (x_all.reshape(K * n, x.shape[-1]), p0)
 
     def train_step(state: TrainState, _) -> tuple[TrainState, dict]:
         key, k_step = jax.random.split(state.key)

@@ -133,3 +133,19 @@ def test_pt_train_cold_rung_feeds_loss(key):
     assert np.isfinite(history["loss"][-1])
     # same objective scale (both are rung-0/single-chain mixed ESJD)
     assert abs(history["loss"][-1]) < 100 * max(abs(history1["loss"][-1]), 1.0)
+
+
+def test_pt_loss_all_rungs_smoke():
+    """All-rungs PT loss (persistent annealing) trains finitely and keeps
+    the (K * n, d) state layout."""
+    from l2hmc_tpu import targets
+    from l2hmc_tpu.train import ScgConfig, scg
+
+    target = targets.mog2(distance=2.0, var=0.5)
+    cfg = ScgConfig(
+        dim=2, n_chains=8, T=3, n_steps=6, pt_train_rungs=3,
+        pt_train_tmax=8.0, pt_loss_all_rungs=True, eps=0.2,
+    )
+    state, history = scg.train(cfg, target=target)
+    assert state.x.shape == (3 * 8, 2)
+    assert np.all(np.isfinite(history["loss"]))

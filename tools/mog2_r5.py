@@ -32,13 +32,16 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 ARMS = [
+    # all-rungs loss = persistent annealing (the medium CPU probe showed
+    # cold-rung-only PT never learns hops: ratio 0.99 — cross-mode STATES
+    # don't teach the kernel, tempered PROPOSALS do)
+    ("pt4_all", {"init_temperature": 1.0, "pt_train_rungs": 4,
+                 "pt_train_tmax": 25.0, "pt_loss_all_rungs": True}),
+    ("ctrl", {}),
     ("pt4", {"init_temperature": 1.0, "pt_train_rungs": 4,
              "pt_train_tmax": 25.0}),
-    ("ctrl", {}),
-    ("pt8", {"init_temperature": 1.0, "pt_train_rungs": 8,
-             "pt_train_tmax": 50.0}),
-    ("pt4_k1", {"init_temperature": 1.0, "pt_train_rungs": 4,
-                "pt_train_tmax": 25.0, "n_train_seeds": 1}),
+    ("pt8_all", {"init_temperature": 1.0, "pt_train_rungs": 8,
+                 "pt_train_tmax": 50.0, "pt_loss_all_rungs": True}),
 ]
 
 

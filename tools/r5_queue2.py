@@ -25,6 +25,9 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 
 STAGES = [
+    ("scg_sat_ac200_k4_seed7",
+     [sys.executable, "tools/scg_sat_r4.py", "--seed", "7",
+      "--only", "netmat_ac200_k4"], 4000),
     ("phi4_AB_T96_pen60",
      [sys.executable, "tools/phi4_64_r3.py", "--only", "AB_T96_pen60"],
      7200),
@@ -36,12 +39,22 @@ STAGES = [
     ("funnel_r5_seed7",
      [sys.executable, "tools/funnel_r5.py", "--seed", "7"], 10800),
     ("mog2_r5",
-     [sys.executable, "tools/mog2_r5.py"], 14400),
+     [sys.executable, "tools/mog2_r5.py", "--seeds", "42", "7"], 14400),
     ("rough_r5",
      [sys.executable, "tools/rough_r5.py"], 10800),
+    # crash-safe chunked conv at L=64: each invocation advances <=250
+    # steps from a checkpoint and exits; worker crashes cost one chunk
+    ("phi4_conv64_chunked",
+     ["bash", "-c",
+      "for i in $(seq 1 16); do "
+      f"{sys.executable} tools/phi4_conv64_chunked.py --seed 0 || true; "
+      "grep -q conv64_chunked_seed0 phi4_conv64_r5.json 2>/dev/null "
+      "&& break; done"], 18000),
     ("phi4_AC_T96_eps005",
      [sys.executable, "tools/phi4_64_r3.py", "--only", "AC_T96_eps005"],
      7200),
+    ("mog2_r5b",
+     [sys.executable, "tools/mog2_r5.py", "--seeds", "13", "21"], 14400),
     ("phi4_AE_T128",
      [sys.executable, "tools/phi4_64_r3.py", "--only", "AE_T128_pen20"],
      9000),

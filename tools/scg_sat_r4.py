@@ -56,6 +56,12 @@ EXPERIMENTS = {
     # the 0.55-0.67 band)
     "netmat_ac200": dict(eps_mat=True, autocorr_penalty=200.0,
                          learning_rate=1e-3),
+    # round 5: seed 7 came back 28x (ESS 0.165 — in-basin the whole run,
+    # select_best can't rescue it). Validation-ESS selection across k=4
+    # inner training seeds is the suite's standard fix for seed-lottery
+    # recipes (ring/mog2); measure it on the headline recipe.
+    "netmat_ac200_k4": dict(eps_mat=True, autocorr_penalty=200.0,
+                            learning_rate=1e-3, _k_select=4),
     # zero-net learned dense preconditioner (50-param analog: 4 params)
     "hmcmat_ac200": dict(hmc=True, eps_mat=True, autocorr_penalty=200.0,
                          learning_rate=1e-2, n_steps=10000),
@@ -95,13 +101,44 @@ def main():
             print(f"skip {key} ({results[key].get('ess_ratio')})")
             continue
         kw = {**BASE, **ov, "seed": args.seed}
+        k_select = int(kw.pop("_k_select", 1))
         if args.quick:
             kw.update(n_steps=min(kw["n_steps"], 40), n_chains=64)
         cfg = ScgConfig(**kw)
         print(f"=== {key}: {ov}", flush=True)
         t0 = time.perf_counter()
         try:
-            state, hist = train(cfg)
+            if k_select <= 1:
+                state, hist = train(cfg)
+            else:
+                # validation-ESS selection across inner training seeds
+                # (suite.run_target's n_train_seeds, inlined): score each
+                # candidate on a short held-out chain, evaluate the winner
+                import jax
+
+                from l2hmc_tpu import targets as targets_lib
+                from l2hmc_tpu.train import build_dynamics, evaluate_ess, sample_chain
+
+                target = targets_lib.scg_gaussian()
+                cov = np.asarray(target.sigma)
+                best = None
+                for i in range(k_select):
+                    cfg_i = ScgConfig(**{**kw, "seed": kw["seed"] + 1000 * i})
+                    st_i, hist_i = train(cfg_i)
+                    dyn_i, _ = build_dynamics(cfg_i)
+                    xv = target.sample(
+                        jax.random.key(kw["seed"] + 5), kw["n_chains"]
+                    )
+                    _, vtr = sample_chain(
+                        dyn_i, st_i.params, xv, 500,
+                        jax.random.key(kw["seed"] + 6),
+                    )
+                    val = evaluate_ess(vtr, cov)
+                    print(f"  k-select candidate {i}: val ESS {val:.4f}",
+                          flush=True)
+                    if best is None or val > best[0]:
+                        best = (val, st_i, hist_i)
+                _, state, hist = best
             train_s = time.perf_counter() - t0
             r = evaluate_trained(
                 cfg, state.params,
