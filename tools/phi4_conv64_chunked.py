@@ -39,11 +39,11 @@ EVAL_SEG = 100  # eval scan length per dispatch (short calls survive)
 
 
 def make_cfg(seed: int, L: int, total_steps: int, n_chains: int,
-             dtype: str):
+             dtype: str, eps: float):
     from l2hmc_tpu.train import ScgConfig
 
     return ScgConfig(
-        dim=L * L, n_chains=n_chains, T=10, eps=0.03, n_steps=total_steps,
+        dim=L * L, n_chains=n_chains, T=10, eps=eps, n_steps=total_steps,
         seed=seed, net_type="conv", conv_channels=32, conv_depth=2,
         remat=True, compute_dtype=dtype, accept_penalty=20.0,
         grad_clip=1.0, learning_rate=1e-4, init_temperature=4.0,
@@ -60,6 +60,9 @@ def main():
     p.add_argument("--total", type=int, default=TOTAL_STEPS)
     p.add_argument("--eval_steps", type=int, default=EVAL_STEPS)
     p.add_argument("--n_chains", type=int, default=256)
+    # 0.03 at L=64 (the dense grid's stable region); the L=32 conv/dense
+    # comparison bar was measured at 0.1
+    p.add_argument("--eps", type=float, default=0.03)
     # bf16 is load-bearing on TPU (f32 convs are 6-pass under the global
     # 'highest' matmul precision); f32 is for CPU functional smokes where
     # bf16 emulation is pathologically slow
@@ -80,7 +83,8 @@ def main():
 
     seed = args.seed
     ckpt = CKPT.format(seed=seed) + f".L{args.L}"
-    cfg = make_cfg(seed, args.L, args.total, args.n_chains, args.dtype)
+    cfg = make_cfg(seed, args.L, args.total, args.n_chains, args.dtype,
+                   args.eps)
     target = targets.Phi4Lattice(L=args.L, m2=-1.0, lam=0.5)
     dynamics, _ = build_dynamics(cfg, target)
     optimizer, _ = make_optimizer(cfg)

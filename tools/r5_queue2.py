@@ -50,6 +50,16 @@ STAGES = [
       f"{sys.executable} tools/phi4_conv64_chunked.py --seed 0 || true; "
       "grep -q conv64_chunked_seed0 phi4_conv64_r5.json 2>/dev/null "
       "&& break; done"], 18000),
+    # chunked L=32-long conv (replaces queue1's fragile single-process
+    # retry if that stage was skipped/crashed): the dense bar at L=32 is
+    # ESS_m 0.090 (phi4_results.json)
+    ("phi4_conv32_long_chunked",
+     ["bash", "-c",
+      "for i in $(seq 1 20); do "
+      f"{sys.executable} tools/phi4_conv64_chunked.py --seed 0 --L 32 "
+      "--eps 0.1 --total 4000 || true; "
+      "grep -q conv32_chunked_seed0 phi4_conv64_r5.json 2>/dev/null "
+      "&& break; done"], 14400),
     ("phi4_AC_T96_eps005",
      [sys.executable, "tools/phi4_64_r3.py", "--only", "AC_T96_eps005"],
      7200),
