@@ -171,6 +171,15 @@ EXPERIMENTS = {
                           init_temperature=4.0, remat=True,
                           accept_penalty=20.0, grad_clip=1.0,
                           learning_rate=1e-4, log_every=100),
+    # AB measured: pen60 is INERT at this scale — the 64x64 mixed-ESJD
+    # loss sits at ~1.6e5, so a penalty of 20-60 is six orders too small
+    # to move the optimum (acceptance saturates 1.00 again). Scale the
+    # penalty to the loss: 1e6 * (p-0.65)^2 ~ 1.2e5 at p=1, comparable
+    # to the ESJD term — the optimizer is actually forced off p=1.
+    "AF_T96_pen1e6": dict(n_steps=6000, hidden=64, leapfrogs=96,
+                          init_temperature=4.0, remat=True,
+                          accept_penalty=1e6, grad_clip=1.0,
+                          learning_rate=1e-4, log_every=100),
     # round-4 conv fallback: BOTH L=64 rescue arms (N/O) died to the
     # remote-TPU-worker crash (long conv scans kill the worker even at
     # chunk 25 — infra ceiling, recorded in phi4_64_r3.json). The
