@@ -187,6 +187,14 @@ class Dynamics:
             raise ValueError(
                 "eps_dim, eps_step and eps_mat are mutually exclusive"
             )
+        if self.input_scale is not None and self.net_input_fn is not None:
+            # net_input_fn would see already-rescaled inputs, silently
+            # computing features of the wrong coordinates (e.g. the
+            # funnel map reading v / sigma_0 instead of v)
+            raise ValueError(
+                "input_scale and net_input_fn are mutually exclusive — "
+                "fold the linear whitening into the feature map instead"
+            )
         object.__setattr__(self, "masks", make_masks(self.mask_seed, self.T, self.dim))
         object.__setattr__(self, "times", time_encoding(self.T))
 

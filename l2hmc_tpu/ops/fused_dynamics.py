@@ -785,6 +785,13 @@ def fused_for_target(dynamics: Dynamics, target, **kw) -> FusedDynamics:
         raise ValueError("fused kernels do not support eps_step (XLA-only)")
     if getattr(dynamics, "eps_mat", False):
         raise ValueError("fused kernels do not support eps_mat (XLA-only)")
+    if getattr(dynamics, "net_input_fn", None) is not None:
+        # the kernels fold only the LINEAR input_scale into embed weights;
+        # a nonlinear state-dependent feature map cannot be folded and
+        # silently dropping it would evaluate different dynamics
+        raise ValueError(
+            "fused kernels do not support net_input_fn (XLA-only)"
+        )
     return FusedDynamics(dynamics, energy_spec_for_target(target), **kw)
 
 
@@ -1374,6 +1381,13 @@ def fused_chain_sampler(dynamics: Dynamics, target, **kw) -> FusedChainSampler:
         raise ValueError("fused kernels do not support eps_step (XLA-only)")
     if getattr(dynamics, "eps_mat", False):
         raise ValueError("fused kernels do not support eps_mat (XLA-only)")
+    if getattr(dynamics, "net_input_fn", None) is not None:
+        # the kernels fold only the LINEAR input_scale into embed weights;
+        # a nonlinear state-dependent feature map cannot be folded and
+        # silently dropping it would evaluate different dynamics
+        raise ValueError(
+            "fused kernels do not support net_input_fn (XLA-only)"
+        )
     kw.setdefault("loop_traj", dynamics.dim >= 2048)
     return FusedChainSampler(dynamics, energy_spec_for_target(target), **kw)
 

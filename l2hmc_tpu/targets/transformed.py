@@ -59,13 +59,19 @@ class FunnelWhiten(Bijector):
         x[:, 0]  = y[:, 0]                       (v, the log-scale coord)
         x[:, 1:] = y[:, 1:] * exp(v / 2)
 
-    ``log|det df/dy| = (d - 1) * v / 2``. ``clip`` bounds the exp argument
-    exactly like the target's clipped energy (targets/funnel.py), keeping
-    the map finite under float32 when a chain strays past +-4 sigma.
+    ``log|det df/dy| = (d - 1) * v / 2``. ``sigma`` must match the paired
+    funnel's: the map clips the exp argument at 4 * sigma exactly like the
+    target's clipped energy (targets/funnel.py GaussianFunnel.clip), so
+    the pullback stays the product Gaussian everywhere the energy is
+    unclipped and the map stays finite under float32 past it.
     """
 
     dim: int
-    clip: float = 8.0
+    sigma: float = 2.0
+
+    @property
+    def clip(self) -> float:
+        return 4.0 * self.sigma
 
     def _scale(self, v: Array) -> Array:
         return jnp.exp(jnp.clip(v, -self.clip, self.clip) / 2.0)

@@ -576,6 +576,11 @@ def train(
             )
         eps_init = (config.eps_chol_init * np.linalg.cholesky(
             np.asarray(sigma))).astype(np.float32)
+    if config.fused_train and config.net_input_target_fn:
+        raise ValueError(
+            "fused_train cannot apply a nonlinear net_input_fn "
+            "(fused kernels fold only the linear input_scale)"
+        )
     if config.pt_train_rungs > 1:
         if config.fused_train:
             raise ValueError("pt_train_rungs is incompatible with fused_train")

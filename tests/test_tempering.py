@@ -116,22 +116,41 @@ def test_pt_train_validations():
 
 
 def test_pt_train_cold_rung_feeds_loss(key):
-    """The K=1 path and the PT path must agree on the rung-0 loss when the
-    ladder is degenerate... they cannot bitwise (different key splits), but
-    a PT run whose hot rungs are at temperature ~1 should train the same
-    objective: check the loss magnitudes are comparable and finite, and
-    that the rung-0 block of the returned state moved."""
+    """Mechanical wiring of the PT branch: with a VERY hot second rung
+    (T = 1e6) the hot chains blow up to enormous scale (the flattened
+    target accepts wild proposals) while the cold rung stays at the
+    target's O(1) scale — so (a) the rung layout is verifiable from the
+    returned state (rung 0 = FIRST n_chains rows, small; hot block
+    large), and (b) the reported p_accept must track the cold rung's
+    (a hot-rung read-out would sit at ~1.0 and a hot-rung loss would be
+    astronomically different from the single-chain run's)."""
     from l2hmc_tpu import targets
     from l2hmc_tpu.train import ScgConfig, scg
 
     target = targets.mog2(distance=2.0, var=0.5)
-    cfg = ScgConfig(dim=2, n_chains=32, T=3, n_steps=20,
-                    pt_train_rungs=2, pt_train_tmax=1.0001, eps=0.2, seed=3)
+    n = 32
+    cfg = ScgConfig(dim=2, n_chains=n, T=3, n_steps=30,
+                    pt_train_rungs=2, pt_train_tmax=1e6,
+                    pt_swap_every=1000000, eps=0.2, seed=3)
     state, history = scg.train(cfg, target=target)
-    cfg1 = ScgConfig(dim=2, n_chains=32, T=3, n_steps=20, eps=0.2, seed=3)
+    cfg1 = ScgConfig(dim=2, n_chains=n, T=3, n_steps=30, eps=0.2, seed=3)
     state1, history1 = scg.train(cfg1, target=target)
+    x = np.asarray(state.x)
+    cold, hot = x[:n], x[n:]
+    # rung layout: cold block O(target scale ~1), hot block diffusing
+    # ballistically (~sqrt(steps) * T_traj * eps ~ 3x after 30 steps —
+    # the flattened target has no restoring gradient)
+    assert np.std(hot) > 2 * np.std(cold)
+    assert np.std(cold) < 10 * np.std(np.asarray(state1.x))
+    # metric wiring: reported acceptance is the cold rung's, i.e. in the
+    # same regime as the single-chain run (a hot-rung read-out is ~1.0
+    # at T=1e6 regardless of params)
+    p_pt = float(np.mean(history["p_accept"][-10:]))
+    p_1 = float(np.mean(history1["p_accept"][-10:]))
+    assert abs(p_pt - p_1) < 0.3
+    # loss wiring: cold-rung mixed ESJD, same order as the single run
+    # (a hot-rung loss at T=1e6 would be off by orders of magnitude)
     assert np.isfinite(history["loss"][-1])
-    # same objective scale (both are rung-0/single-chain mixed ESJD)
     assert abs(history["loss"][-1]) < 100 * max(abs(history1["loss"][-1]), 1.0)
 
 

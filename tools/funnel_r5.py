@@ -89,7 +89,7 @@ def run_whitened(seed, quick, saturate=False):
         n_chains, n_steps, eval_steps = 256, 1200, 500
 
     funnel = targets.GaussianFunnel(dim=DIM)
-    bij = targets.FunnelWhiten(dim=DIM)
+    bij = targets.FunnelWhiten(dim=DIM, sigma=funnel.sigma)
     tt = targets.TransformedTarget(base=funnel, bijector=bij)
 
     xs = np.asarray(funnel.sample(jax.random.key(7), 20000))

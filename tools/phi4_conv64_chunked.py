@@ -71,6 +71,11 @@ def main():
     args = p.parse_args()
     TOTAL_STEPS, EVAL_STEPS = args.total, args.eval_steps
     EVAL_SEG = min(EVAL_SEG, EVAL_STEPS)
+    if EVAL_STEPS % EVAL_SEG:
+        raise SystemExit(
+            f"--eval_steps {EVAL_STEPS} must be a multiple of the "
+            f"{EVAL_SEG}-step eval segment (no silent truncation)"
+        )
 
     from l2hmc_tpu import targets
     from l2hmc_tpu.apps.phi4 import magnetization_ess, tunneling_rate
@@ -155,7 +160,7 @@ def main():
     from l2hmc_tpu.dynamics import Dynamics
 
     hdyn = Dynamics(dim=cfg.dim, energy=target.energy, T=cfg.T, hmc=True)
-    hparams = hdyn.init_params(jax.random.key(seed), eps=0.03)
+    hparams = hdyn.init_params(jax.random.key(seed), eps=args.eps)
 
     @jax.jit
     def hmc_seg(x, key):
