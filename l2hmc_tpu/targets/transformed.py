@@ -97,10 +97,19 @@ class TransformedTarget(Target):
     identity; unnormalized exactly when the base is). The exact sampler
     draws base samples and pulls them back, so downstream covariance
     estimation and validation-chain scoring work unchanged.
+
+    ``sigma``: optional analytic covariance of the PULLBACK (Y-space)
+    distribution, when the bijector makes it known in closed form — e.g.
+    the funnel pullback is exactly the product Gaussian
+    diag(sigma_f^2 / 2, 1, ..., 1). Setting it unlocks the trainer's
+    covariance-informed recipes (whiten_loss / eps_sigma_init) on the
+    transformed target; like every oracle-informed knob it must be
+    disclosed alongside any number that uses it.
     """
 
     base: Target
     bijector: Bijector
+    sigma: object = None  # optional (dim, dim) ndarray
 
     def __post_init__(self):
         object.__setattr__(self, "dim", self.base.dim)
