@@ -58,12 +58,13 @@ def run_suite_arm(name, ov, seed, quick):
     from l2hmc_tpu.apps import suite
 
     kw = dict(ov)
+    kw.setdefault("n_chains", 2048)  # the canonical suite protocol
     if quick:
         kw.update(n_steps=1200, n_chains=256, eval_steps=500)
     r = suite.run_target("funnel", seed=seed, **kw)
     keep = {k: r[k] for k in (
         "ess_l2hmc", "ess_hmc", "ess_ratio", "ess_ratio_at_config_eps",
-        "final_accept", "train_time_s", "hmc_best_eps",
+        "final_accept", "train_time_s", "hmc_best_eps", "n_chains",
     )}
     keep["overrides"] = ov
     return keep
