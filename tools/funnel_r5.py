@@ -46,8 +46,11 @@ SUITE_ARMS = [
     # arm (b): state-conditioned net inputs, shipped recipe otherwise
     ("netfn_pen20_k4", {"net_input_target_fn": True}),
     # (b) with a bolder step: well-conditioned features may unlock the
-    # acceptance floor that forced eps down to 0.05
+    # acceptance floor that forced eps down to 0.05 (measured s42 @512:
+    # ctrl 3.64x accept 0.14; netfn@eps0.05 2.80x; netfn@eps0.1 6.08x
+    # accept 0.21 — the features DO unlock the step size)
     ("netfn_eps01_k4", {"net_input_target_fn": True, "eps": 0.1}),
+    ("netfn_eps02_k4", {"net_input_target_fn": True, "eps": 0.2}),
     # (b) without the acceptance penalty: does better conditioning alone
     # fix the too-bold tail the penalty was regularizing?
     ("netfn_nopen_k4", {"net_input_target_fn": True, "accept_penalty": 0.0}),
