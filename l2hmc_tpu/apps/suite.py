@@ -100,9 +100,13 @@ _TARGET_OVERRIDES: dict[str, dict] = {
     # measured sweep (icg_rough_sweep.json): shorter trajectories at a
     # moderate step size beat the tiny-eps full-length recipe 2x+ — the
     # rough ripple derails long trajectories, and the nets only need to
-    # out-jump HMC per step
+    # out-jump HMC per step. n_chains is part of the recipe: the margin
+    # scales monotonically with the TRAINING batch (rough_r5.json, 9-cell
+    # envelope over chains {512,1024,2048} x seeds {42,7,13}: 1.04-1.35x
+    # at 512, 2.4-2.6x at 1024, 2.8-3.8x at 2048 — the ripple-averaged
+    # ESJD gradient needs the large batch).
     "rough_well": {"eps": 0.05, "hmc_eps": 0.03, "leapfrogs": 5,
-                   "hidden": 20},
+                   "hidden": 20, "n_chains": 2048},
     # mode-hop targets: whether a run learns the hop is a seed lottery
     # (r2 seed table: ring 6-452x, mog2 3.7-57x). Multi-seed
     # train-and-select (validation chain, not test) stabilizes it —
