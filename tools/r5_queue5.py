@@ -1,0 +1,84 @@
+"""Round-5 TPU queue, part 5: canonical mog2 refresh + leftovers.
+
+pt4_all (PT-assisted training, all-rungs loss) beat the anneal recipe
+874x/1453x vs 90x/34x at seeds {42,7} — it is now the shipped mog2
+recipe (apps/suite.py), so the canonical suite artifacts must be
+refreshed at all three seeds (merge pattern: side file -> replace the
+mog2 entry -> regenerate the README/PARITY table). Then the remaining
+round-5 stages: chunked conv runs and the netfn seed-42 canonical rerun.
+
+Usage (TPU, run alone, AFTER r5_queue4 is stopped):
+    python tools/r5_queue5.py [--skip N] [--only ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+
+STAGES = [
+    ("suite_mog2_seed42",
+     [sys.executable, "-m", "l2hmc_tpu.apps.suite", "--targets", "mog2",
+      "--n_chains", "2048", "--seed", "42",
+      "--out", "suite_mog2_r5_seed42.json"], 7200),
+    ("suite_mog2_seed7",
+     [sys.executable, "-m", "l2hmc_tpu.apps.suite", "--targets", "mog2",
+      "--n_chains", "2048", "--seed", "7",
+      "--out", "suite_mog2_r5_seed7.json"], 7200),
+    ("suite_mog2_seed13",
+     [sys.executable, "-m", "l2hmc_tpu.apps.suite", "--targets", "mog2",
+      "--n_chains", "2048", "--seed", "13",
+      "--out", "suite_mog2_r5_seed13.json"], 7200),
+    ("funnel_netfn_eps01_seed42_canonical",
+     [sys.executable, "tools/funnel_r5.py", "--seed", "42", "--only",
+      "netfn_eps01_k4", "--out", "funnel_r5b.json"], 5400),
+    ("phi4_conv64_chunked",
+     ["bash", "-c",
+      "for i in $(seq 1 16); do "
+      f"{sys.executable} tools/phi4_conv64_chunked.py --seed 0 || true; "
+      "grep -q conv64_chunked_seed0 phi4_conv64_r5.json 2>/dev/null "
+      "&& break; done"], 18000),
+    ("phi4_conv32_long_chunked",
+     ["bash", "-c",
+      "for i in $(seq 1 20); do "
+      f"{sys.executable} tools/phi4_conv64_chunked.py --seed 0 --L 32 "
+      "--eps 0.1 --total 4000 || true; "
+      "grep -q conv32_chunked_seed0 phi4_conv64_r5.json 2>/dev/null "
+      "&& break; done"], 14400),
+    ("mog2_r5b",
+     [sys.executable, "tools/mog2_r5.py", "--seeds", "13", "21",
+      "--only", "pt4_all"], 14400),
+]
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--skip", type=int, default=0)
+    p.add_argument("--only", type=str, nargs="*", default=None)
+    args = p.parse_args()
+
+    for label, argv, timeout in STAGES[args.skip:]:
+        if args.only and label not in args.only:
+            continue
+        log = f"/tmp/r5q5_{label}.log"
+        print(f"=== stage {label} -> {log}", flush=True)
+        t0 = time.perf_counter()
+        with open(log, "w") as f:
+            try:
+                rc = subprocess.run(argv, cwd=REPO, stdout=f,
+                                    stderr=subprocess.STDOUT,
+                                    timeout=timeout).returncode
+            except subprocess.TimeoutExpired:
+                rc = "timeout"
+        print(f"=== stage {label}: rc={rc} "
+              f"({time.perf_counter() - t0:.0f}s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
