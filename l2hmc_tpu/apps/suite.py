@@ -118,13 +118,15 @@ _TARGET_OVERRIDES: dict[str, dict] = {
     # loss replaces annealing — a persistent temperature ladder whose
     # every rung carries the ESJD loss at its own temperature, so the
     # mode-hop teacher (tempered proposals) never anneals away. Measured
-    # at seeds {42,7}: ESS 0.230/0.381 = 874x/1453x vs the anneal
-    # control's 0.024/0.009 = 90x/34x — a 17-40x absolute-mixing lift
-    # past the round-4 floor (0.0135). Cold-rung-only PT is a measured
-    # negative (ratio ~1: cross-mode STATES don't teach, tempered
-    # PROPOSALS do — ScgConfig.pt_loss_all_rungs docs).
-    "mog2": {"init_temperature": 1.0, "pt_train_rungs": 4,
-             "pt_train_tmax": 25.0, "pt_loss_all_rungs": True,
+    # ladder at seeds {42,7}: 8 rungs/tmax 50 -> ESS 0.551/0.693 =
+    # 2092x/2645x; 4 rungs/tmax 25 -> 0.230/0.381 = 874x/1453x; anneal
+    # control 0.024/0.009 = 90x/34x — a 20-70x absolute-mixing lift past
+    # the round-4 floor (0.0135). Cold-rung-only PT is a measured
+    # negative at full protocol (ratio 1.0 both seeds: cross-mode STATES
+    # don't teach, tempered PROPOSALS do — ScgConfig.pt_loss_all_rungs
+    # docs).
+    "mog2": {"init_temperature": 1.0, "pt_train_rungs": 8,
+             "pt_train_tmax": 50.0, "pt_loss_all_rungs": True,
              "hmc_eps": 0.25, "eps": 0.3,
              "hidden": 20, "n_steps": 8000, "n_train_seeds": 4},
     # round-4 funnel wave (funnel_r3.json, like-for-like at seed 42, the

@@ -53,7 +53,7 @@ STAGES = [
       "&& break; done"], 14400),
     ("mog2_r5b",
      [sys.executable, "tools/mog2_r5.py", "--seeds", "13", "21",
-      "--only", "pt4_all"], 14400),
+      "--only", "pt8_all"], 14400),
 ]
 
 
