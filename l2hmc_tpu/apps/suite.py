@@ -129,15 +129,23 @@ _TARGET_OVERRIDES: dict[str, dict] = {
              "pt_train_tmax": 50.0, "pt_loss_all_rungs": True,
              "hmc_eps": 0.25, "eps": 0.3,
              "hidden": 20, "n_steps": 8000, "n_train_seeds": 4},
-    # round-4 funnel wave (funnel_r3.json, like-for-like at seed 42, the
-    # TPU-drifted baseline re-measured at 3.04x): accept_penalty=20 +
-    # k4 select is the measured winner (3.64x; pen20 alone 3.53x, pen50
-    # 3.28x). The penalty regularizes the too-bold tail — mean acceptance
-    # stays ~0.14. per_dim_loss is a sharp negative here (0.06x,
-    # acceptance 0.02): in the funnel's raw units the per-dim reciprocal
-    # rewards blowing up the state-dependently-wide z dims.
-    "funnel": {"eps": 0.05, "hmc_eps": 0.05, "hidden": 20, "grad_clip": 5.0,
-               "accept_penalty": 20.0, "n_train_seeds": 4},
+    # round 5 (funnel_r5.json): state-conditioned net-input features
+    # (Dynamics.net_input_fn — the funnel's exp(-v/2) conditional
+    # whitening of x-like and gradient inputs; no oracle map in the
+    # DYNAMICS, only in the features) unlock a 2x bolder step the raw
+    # nets cannot survive: eps 0.1 + netfn scores 7.03x/13.4x
+    # best-vs-best at seeds {42,7} at this protocol vs the round-4
+    # recipe's 3.64x (accept 0.15-0.16 vs the 0.12 floor). At the old
+    # eps 0.05 the features alone do nothing (2.80x) and without the
+    # penalty the bold step decays (2.36x) — features + eps + penalty
+    # compose. (The exact whitening REPARAMETERIZATION wins 44.7x/45.9x
+    # but samples a transformed target — reported separately in
+    # README/PARITY, not as this row's kernel comparison.)
+    # Round-4 notes: per_dim_loss is a sharp negative here (0.06x,
+    # acceptance 0.02) in the funnel's raw units.
+    "funnel": {"eps": 0.1, "hmc_eps": 0.05, "hidden": 20, "grad_clip": 5.0,
+               "accept_penalty": 20.0, "n_train_seeds": 4,
+               "net_input_target_fn": True},
 }
 
 
